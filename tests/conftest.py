@@ -1,0 +1,23 @@
+"""Test harness: force an 8-device virtual CPU platform before JAX import.
+
+Multi-chip sharding paths are validated on this virtual mesh (the TPU answer
+to "multi-node without a cluster" — the reference only ever tested DDP on real
+GPUs, SPIRAL/README.md:25-56).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
