@@ -1,0 +1,59 @@
+"""Import helpers for using the reference PyTorch implementation as a test
+oracle (read-only at /root/reference). The Cython monotonic_align extension is
+not built, so we pre-seed sys.modules with a numpy-backed stand-in before
+importing the reference package."""
+
+import sys
+import types
+
+GRAD_TTS_DIR = "/root/reference/Grad-TTS"
+DIFFVC_DIR = "/root/reference/DiffVC"
+SPIRAL_DIR = "/root/reference/SPIRAL"
+
+
+def _install_mas_stub():
+    import numpy as np
+    import torch
+
+    from tpu_speech.ops.monotonic_align import maximum_path_numpy
+
+    stub = types.ModuleType("model.monotonic_align")
+
+    def maximum_path(value, mask):
+        path = maximum_path_numpy(value.detach().numpy(), mask.detach().numpy())
+        return torch.from_numpy(path.astype(np.float32))
+
+    stub.maximum_path = maximum_path
+    sys.modules["model.monotonic_align"] = stub
+
+
+def load_gradtts_reference():
+    """Returns the reference Grad-TTS `model` package (torch)."""
+    _purge_module_namespace()
+    if GRAD_TTS_DIR not in sys.path:
+        sys.path.insert(0, GRAD_TTS_DIR)
+    _install_mas_stub()
+    import model  # noqa: F401
+
+    return sys.modules["model"]
+
+
+def load_diffvc_reference():
+    """Returns the reference DiffVC `model` package (torch)."""
+    _purge_module_namespace()
+    if DIFFVC_DIR not in sys.path:
+        sys.path.insert(0, DIFFVC_DIR)
+    import model  # noqa: F401
+
+    return sys.modules["model"]
+
+
+def _purge_module_namespace():
+    """Grad-TTS and DiffVC both use a top-level `model` package; drop any
+    previously imported one so the right directory wins."""
+    for name in list(sys.modules):
+        if name == "model" or name.startswith("model."):
+            del sys.modules[name]
+    for d in (GRAD_TTS_DIR, DIFFVC_DIR):
+        if d in sys.path:
+            sys.path.remove(d)

@@ -1,0 +1,193 @@
+"""Grad-TTS: score-based diffusion text-to-speech (facade).
+
+TPU-native re-design of Grad-TTS/model/tts.py:21-181. Differences from the
+reference that matter on TPU:
+
+- the training loss (including MAS) is a single jittable function: MAS runs
+  on-device (ops.monotonic_align) instead of Cython-on-CPU;
+- the random decoder segment crop is a batched ``dynamic_slice`` instead of a
+  Python per-sample loop (tts.py:146-168);
+- synthesis integrates the reverse SDE as one ``lax.scan`` and takes a static
+  ``y_max_length`` bucket so the whole text->mel graph compiles once per
+  bucket.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tpu_speech.models.diffusion import diffusion_loss, reverse_diffusion
+from tpu_speech.models.text_encoder import TextEncoder
+from tpu_speech.nn.unet import GradLogPEstimator2d
+from tpu_speech.ops.masks import duration_loss, generate_path, sequence_mask
+from tpu_speech.ops.monotonic_align import maximum_path
+
+
+class GradTTS(nn.Module):
+    n_vocab: int
+    n_spks: int = 1
+    spk_emb_dim: int = 64
+    n_enc_channels: int = 192
+    filter_channels: int = 768
+    filter_channels_dp: int = 256
+    n_heads: int = 2
+    n_enc_layers: int = 6
+    enc_kernel: int = 3
+    enc_dropout: float = 0.1
+    window_size: int = 4
+    n_feats: int = 80
+    dec_dim: int = 64
+    beta_min: float = 0.05
+    beta_max: float = 20.0
+    pe_scale: float = 1000.0
+
+    def setup(self):
+        if self.n_spks > 1:
+            self.spk_emb = nn.Embed(self.n_spks, self.spk_emb_dim)
+        self.encoder = TextEncoder(
+            self.n_vocab,
+            self.n_feats,
+            self.n_enc_channels,
+            self.filter_channels,
+            self.filter_channels_dp,
+            self.n_heads,
+            self.n_enc_layers,
+            self.enc_kernel,
+            self.enc_dropout,
+            self.window_size,
+            self.spk_emb_dim,
+            self.n_spks,
+        )
+        self.estimator = GradLogPEstimator2d(
+            dim=self.dec_dim,
+            n_spks=self.n_spks,
+            spk_emb_dim=self.spk_emb_dim,
+            n_feats=self.n_feats,
+            pe_scale=self.pe_scale,
+        )
+
+    def _spk_vec(self, spk):
+        if self.n_spks > 1:
+            return self.spk_emb(spk)
+        return None
+
+    def encode(self, x, x_lengths, spk=None, train: bool = False):
+        """Text ids -> (mu_x (B,Tx,F), logw (B,Tx), x_mask (B,Tx))."""
+        return self.encoder(x, x_lengths, self._spk_vec(spk), train=train)
+
+    def score(self, xt, mask, mu, t, spk=None):
+        """Noise estimator eval (one reverse-SDE step's network call)."""
+        return self.estimator(xt, mask, mu, t, self._spk_vec(spk))
+
+    def __call__(self, x, x_lengths, y, y_lengths, rng, spk=None,
+                 out_size: Optional[int] = None, train: bool = True):
+        """Training loss. Returns (dur_loss, prior_loss, diff_loss).
+
+        x: (B, Tx) ids; y: (B, Ty, F) mels; rng drives t/noise/crop sampling.
+        Mirrors tts.py:101-181 with MAS + crop fully on device.
+        """
+        spk_e = self._spk_vec(spk)
+        mu_x, logw, x_mask = self.encoder(x, x_lengths, spk_e, train=train)
+        y_mask = sequence_mask(y_lengths, y.shape[1]).astype(mu_x.dtype)
+        attn_mask = x_mask[:, :, None] * y_mask[:, None, :]
+
+        # Gaussian log-prior grid via one big matmul (MXU):
+        # log N(y_t; mu_x, I) = -0.5*|y|^2 + <mu,y> - 0.5*|mu|^2 + const
+        const = -0.5 * math.log(2 * math.pi) * self.n_feats
+        y_sq = -0.5 * jnp.sum(y**2, axis=-1)  # (B, Ty)
+        mu_sq = -0.5 * jnp.sum(mu_x**2, axis=-1)  # (B, Tx)
+        cross = jnp.einsum("bxf,byf->bxy", mu_x, y)
+        log_prior = y_sq[:, None, :] + cross + mu_sq[:, :, None] + const
+
+        attn = jax.lax.stop_gradient(maximum_path(log_prior, attn_mask))
+
+        logw_gt = jnp.log(1e-8 + jnp.sum(attn, axis=-1)) * x_mask
+        dur_loss = duration_loss(logw * x_mask, logw_gt, x_lengths)
+
+        rng_crop, rng_diff = jax.random.split(rng)
+        if out_size is not None and out_size < y.shape[1]:
+            max_offset = jnp.maximum(y_lengths - out_size, 0)
+            offsets = jax.random.randint(
+                rng_crop, (y.shape[0],), 0, jnp.maximum(max_offset, 1)
+            )
+            y_cut = jax.vmap(
+                lambda yi, off: jax.lax.dynamic_slice(
+                    yi, (off, 0), (out_size, self.n_feats)
+                )
+            )(y, offsets)
+            attn_cut = jax.vmap(
+                lambda ai, off: jax.lax.dynamic_slice(
+                    ai, (0, off), (ai.shape[0], out_size)
+                )
+            )(attn, offsets)
+            y_cut_lengths = jnp.minimum(y_lengths, out_size)
+            y_cut_mask = sequence_mask(y_cut_lengths, out_size).astype(y_mask.dtype)
+            y, attn, y_mask = y_cut, attn_cut, y_cut_mask
+
+        mu_y = jnp.einsum("bxy,bxf->byf", attn, mu_x)
+
+        def score_fn(xt, t):
+            return self.estimator(xt, y_mask, mu_y, t, spk_e)
+
+        diff_loss, _ = diffusion_loss(
+            score_fn, y, y_mask, mu_y, rng_diff, self.n_feats,
+            self.beta_min, self.beta_max,
+        )
+
+        m = y_mask[:, :, None]
+        prior_loss = jnp.sum(0.5 * ((y - mu_y) ** 2 + math.log(2 * math.pi)) * m)
+        prior_loss = prior_loss / (jnp.sum(y_mask) * self.n_feats)
+
+        return dur_loss, prior_loss, diff_loss
+
+
+def synthesize(
+    model: GradTTS,
+    params,
+    x: jnp.ndarray,
+    x_lengths: jnp.ndarray,
+    n_timesteps: int,
+    y_max_length: int,
+    temperature: float = 1.0,
+    stoc: bool = False,
+    spk: Optional[jnp.ndarray] = None,
+    length_scale: float = 1.0,
+    rng: Optional[jax.Array] = None,
+):
+    """Text -> mel (inference). Fully jittable with static y_max_length bucket.
+
+    Returns (encoder_outputs, decoder_outputs, attn, y_lengths); outputs are
+    (B, y_max_length, F) with frames beyond y_lengths zero-masked
+    (tts.py:51-99 semantics; caller trims).
+    """
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    mu_x, logw, x_mask = model.apply(
+        params, x, x_lengths, spk, method=GradTTS.encode
+    )
+    w = jnp.exp(logw) * x_mask
+    w_ceil = jnp.ceil(w) * length_scale
+    y_lengths = jnp.clip(jnp.sum(w_ceil, axis=1), 1, y_max_length).astype(jnp.int32)
+
+    y_mask = sequence_mask(y_lengths, y_max_length).astype(mu_x.dtype)
+    attn_mask = x_mask[:, :, None] * y_mask[:, None, :]
+    attn = generate_path(w_ceil, attn_mask)
+
+    mu_y = jnp.einsum("bxy,bxf->byf", attn, mu_x)
+
+    rng_z, rng_sde = jax.random.split(rng)
+    z = mu_y + jax.random.normal(rng_z, mu_y.shape, dtype=mu_y.dtype) / temperature
+
+    def score_fn(xt, t):
+        return model.apply(params, xt, y_mask, mu_y, t, spk, method=GradTTS.score)
+
+    dec = reverse_diffusion(
+        score_fn, z, y_mask, mu_y, n_timesteps,
+        model.beta_min, model.beta_max, stoc=stoc, rng=rng_sde,
+    )
+    return mu_y, dec, attn, y_lengths

@@ -1,0 +1,225 @@
+"""U-Net score estimator for score-based diffusion decoders.
+
+TPU-native re-design of the reference GradLogPEstimator2d
+(Grad-TTS/model/diffusion.py:16-216; DiffVC variant model/diffusion.py:17-106):
+NHWC layout (B, n_feats, T, C) so channels ride the lanes and 3x3 convs hit
+the MXU, static python loops over resolutions (traced once), explicit
+torch-geometry strided/transposed convs for checkpoint parity.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tpu_speech.nn.convops import conv2d, conv_transpose2d
+
+
+def mish(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jnp.tanh(nn.softplus(x))
+
+
+class SinusoidalPosEmb(nn.Module):
+    """Sinusoidal time embedding (diffusion.py:113-125)."""
+
+    dim: int
+
+    def __call__(self, t: jnp.ndarray, scale: float = 1000.0) -> jnp.ndarray:
+        half = self.dim // 2
+        freqs = jnp.exp(
+            jnp.arange(half, dtype=jnp.float32) * -(math.log(10000.0) / (half - 1))
+        )
+        args = scale * t[:, None] * freqs[None, :]
+        return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+class Conv2dTorch(nn.Module):
+    """Parameterized torch-geometry 2D conv on NHWC."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        fan_in = x.shape[-1] * k * k
+        bound = math.sqrt(1.0 / fan_in)
+        w = self.param(
+            "kernel", _uniform(bound), (k, k, x.shape[-1], self.features)
+        )
+        b = self.param("bias", _uniform(bound), (self.features,))
+        return conv2d(x, w, b, stride=self.stride, padding=self.padding)
+
+
+def _uniform(bound):
+    def init(key, shape, dtype=jnp.float32):
+        import jax.random as jr
+
+        return jr.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class Block(nn.Module):
+    """conv3x3 -> GroupNorm(8) -> Mish, mask-aware (diffusion.py:49-58)."""
+
+    dim_out: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x, mask):
+        h = Conv2dTorch(self.dim_out, 3, padding=1, name="conv")(x * mask)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm")(h)
+        return mish(h) * mask
+
+
+class ResnetBlock(nn.Module):
+    """Two conv blocks + time-embedding injection + residual (diffusion.py:61-79)."""
+
+    dim_out: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x, mask, time_emb):
+        h = Block(self.dim_out, self.groups, name="block1")(x, mask)
+        t = nn.Dense(self.dim_out, name="mlp")(mish(time_emb))
+        h = h + t[:, None, None, :]
+        h = Block(self.dim_out, self.groups, name="block2")(h, mask)
+        if x.shape[-1] != self.dim_out:
+            res = nn.Dense(self.dim_out, name="res_conv")(x * mask)
+        else:
+            res = x * mask
+        return h + res
+
+
+class LinearAttention(nn.Module):
+    """Softmax-free linear attention over the (F, T) grid (diffusion.py:82-100)."""
+
+    heads: int = 4
+    dim_head: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        b, f, t, c = x.shape
+        hidden = self.heads * self.dim_head
+        qkv = nn.Dense(3 * hidden, use_bias=False, name="to_qkv")(x)
+        qkv = qkv.reshape(b, f * t, 3, self.heads, self.dim_head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
+        k = nn.softmax(k, axis=1)  # softmax over spatial positions
+        context = jnp.einsum("bnhd,bnhe->bhde", k, v)
+        out = jnp.einsum("bhde,bnhd->bnhe", context, q)
+        out = out.reshape(b, f, t, hidden)
+        return nn.Dense(c, name="to_out")(out)
+
+
+class ResidualRezeroAttn(nn.Module):
+    """x + g * LinearAttention(x), g zero-init (diffusion.py:39-46, 103-110)."""
+
+    heads: int = 4
+    dim_head: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.param("g", nn.initializers.zeros, (1,))
+        return x + LinearAttention(self.heads, self.dim_head, name="fn")(x) * g
+
+
+class Downsample(nn.Module):
+    """conv3x3 stride-2 (halves F and T), torch geometry (diffusion.py:30-36)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        return Conv2dTorch(self.dim, 3, stride=2, padding=1, name="conv")(x)
+
+
+class Upsample(nn.Module):
+    """ConvTranspose 4x4 stride-2 (doubles F and T), torch geometry (diffusion.py:21-27)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        bound = math.sqrt(1.0 / (x.shape[-1] * 16))
+        w = self.param("kernel", _uniform(bound), (4, 4, x.shape[-1], self.dim))
+        b = self.param("bias", _uniform(bound), (self.dim,))
+        return conv_transpose2d(x, w, b, stride=2, padding=1)
+
+
+class GradLogPEstimator2d(nn.Module):
+    """U-Net noise estimator.
+
+    Inputs/outputs are (B, T, F) channels-last mels; internally NHWC
+    (B, F, T, C). Mirrors Grad-TTS/model/diffusion.py:128-216: inputs stacked
+    as channels [mu, x (+ spk)], 3 resolutions (dim_mults 1,2,4), two resnet
+    blocks + rezero linear attention per level, masked down/upsampling.
+    """
+
+    dim: int
+    dim_mults: Sequence[int] = (1, 2, 4)
+    groups: int = 8
+    n_spks: int = 1
+    spk_emb_dim: int = 64
+    n_feats: int = 80
+    pe_scale: float = 1000.0
+
+    @nn.compact
+    def __call__(self, x, mask, mu, t, spk=None):
+        # x, mu: (B, T, F); mask: (B, T); t: (B,)
+        t_emb = SinusoidalPosEmb(self.dim, name="time_pos_emb")(t, scale=self.pe_scale)
+        t_emb = nn.Dense(self.dim * 4, name="mlp_0")(t_emb)
+        t_emb = mish(t_emb)
+        t_emb = nn.Dense(self.dim, name="mlp_1")(t_emb)
+
+        # stack conditioning + state as channels: (B, F, T, C)
+        chans = [mu.transpose(0, 2, 1), x.transpose(0, 2, 1)]
+        if self.n_spks > 1:
+            s = nn.Dense(self.spk_emb_dim * 4, name="spk_mlp_0")(spk)
+            s = mish(s)
+            s = nn.Dense(self.n_feats, name="spk_mlp_1")(s)  # (B, F)
+            chans.append(jnp.broadcast_to(s[:, :, None], s.shape + (x.shape[1],)))
+        h = jnp.stack(chans, axis=-1)
+        m = mask[:, None, :, None]  # (B, 1, T, 1)
+
+        num_res = len(self.dim_mults)
+        dims = [self.dim * m_ for m_ in self.dim_mults]
+
+        hiddens = []
+        masks = [m]
+        for i, d in enumerate(dims):
+            mask_down = masks[-1]
+            h = ResnetBlock(d, self.groups, name=f"down_{i}_res1")(h, mask_down, t_emb)
+            h = ResnetBlock(d, self.groups, name=f"down_{i}_res2")(h, mask_down, t_emb)
+            h = ResidualRezeroAttn(name=f"down_{i}_attn")(h)
+            hiddens.append(h)
+            if i < num_res - 1:
+                h = Downsample(d, name=f"down_{i}_ds")(h * mask_down)
+                masks.append(mask_down[:, :, ::2, :])
+
+        mask_mid = masks[-1]
+        h = ResnetBlock(dims[-1], self.groups, name="mid_block1")(h, mask_mid, t_emb)
+        h = ResidualRezeroAttn(name="mid_attn")(h)
+        h = ResnetBlock(dims[-1], self.groups, name="mid_block2")(h, mask_mid, t_emb)
+
+        for j, i in enumerate(reversed(range(1, num_res))):
+            mask_up = masks.pop()
+            h = jnp.concatenate([h, hiddens.pop()], axis=-1)
+            h = ResnetBlock(dims[i - 1], self.groups, name=f"up_{j}_res1")(
+                h, mask_up, t_emb
+            )
+            h = ResnetBlock(dims[i - 1], self.groups, name=f"up_{j}_res2")(
+                h, mask_up, t_emb
+            )
+            h = ResidualRezeroAttn(name=f"up_{j}_attn")(h)
+            h = Upsample(dims[i - 1], name=f"up_{j}_us")(h * mask_up)
+
+        h = Block(self.dim, self.groups, name="final_block")(h, m)
+        out = Conv2dTorch(1, 1, name="final_conv")(h * m)
+        out = (out * m)[..., 0]  # (B, F, T)
+        return out.transpose(0, 2, 1)  # (B, T, F)
