@@ -1,0 +1,85 @@
+"""Grad-TTS single-speaker training CLI (same role/recipe as the reference
+Grad-TTS/train.py:59-175): LJSpeech filelist -> mel targets on host workers ->
+jitted DP training step on the TPU mesh, TensorBoard + train.log + per-epoch
+checkpoints."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import params
+from tpu_speech.data.gradtts import TextMelBatchCollate, TextMelDataset
+from tpu_speech.data.loader import DataLoader
+from tpu_speech.models.grad_tts import GradTTS
+from tpu_speech.text import symbols
+from tpu_speech.train.gradtts import GradTTSTrainer
+
+
+def build_model(n_spks=None):
+    nsymbols = len(symbols) + 1 if params.add_blank else len(symbols)
+    return GradTTS(
+        nsymbols, n_spks or params.n_spks, params.spk_emb_dim,
+        params.n_enc_channels, params.filter_channels, params.filter_channels_dp,
+        params.n_heads, params.n_enc_layers, params.enc_kernel,
+        params.enc_dropout, params.window_size, params.n_feats, params.dec_dim,
+        params.beta_min, params.beta_max, params.pe_scale,
+    )
+
+
+def init_params(model, seed=0):
+    x = jnp.ones((1, 8), dtype=jnp.int32)
+    xl = jnp.array([8])
+    y = jnp.zeros((1, 16, params.n_feats))
+    yl = jnp.array([16])
+    spk = jnp.zeros((1,), dtype=jnp.int32) if model.n_spks > 1 else None
+    return jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(seed)}, x, xl, y, yl,
+        jax.random.PRNGKey(seed + 1), spk=spk, train=False,
+    )
+
+
+def main(multispeaker: bool = False):
+    print("Initializing data loaders...")
+    dataset = TextMelDataset(
+        params.train_filelist_path, params.cmudict_path, params.add_blank,
+        params.n_fft, params.n_feats, params.sample_rate, params.hop_length,
+        params.win_length, params.f_min, params.f_max,
+        multispeaker=multispeaker, shuffle_seed=params.seed,
+    )
+    collate = TextMelBatchCollate()
+    loader = DataLoader(
+        dataset, params.batch_size, collate, shuffle=False, drop_last=True,
+        num_workers=4, seed=params.seed,
+    )
+
+    print("Initializing model...")
+    model = build_model(None if not multispeaker else params.n_spks)
+    model_params = init_params(model, params.seed)
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(model_params))
+    print(f"Total parameters: {n / 1e6:.2f}m")
+
+    trainer = GradTTSTrainer(
+        model, model_params, params.log_dir,
+        learning_rate=params.learning_rate, out_size=params.out_size,
+        save_every=params.save_every,
+    )
+    if trainer.resume_if_exists():
+        print(f"Resumed from iteration {trainer.iteration}")
+
+    print("Start training...")
+    base_rng = jax.random.PRNGKey(params.seed)
+    for epoch in range(1, params.n_epochs + 1):
+        stats = trainer.train_epoch(loader, epoch, base_rng)
+        print(
+            f"Epoch {epoch}: dur {stats['dur_loss']:.3f} | "
+            f"prior {stats['prior_loss']:.3f} | diff {stats['diff_loss']:.3f}"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -124,6 +124,37 @@ def stft_magnitude(
 # ---------------------------------------------------------------------------
 
 
+def mel_spectrogram_np(
+    y: np.ndarray,
+    n_fft: int = 1024,
+    num_mels: int = 80,
+    sampling_rate: int = 22050,
+    hop_size: int = 256,
+    win_size: int = 1024,
+    fmin: float = 0.0,
+    fmax: float = 8000.0,
+) -> np.ndarray:
+    """Host-side (numpy) log-mel, same convention as ``mel_spectrogram``.
+
+    Used by input-pipeline workers so feature extraction runs on CPU threads
+    and never blocks the TPU (the reference hides this in DataLoader workers,
+    Grad-TTS/data.py:49-54). (N,) or (B, N) wav -> (..., T, num_mels).
+    """
+    y = np.asarray(y, dtype=np.float32)
+    mel_w = mel_filterbank(sampling_rate, n_fft, num_mels, fmin, fmax)
+    window = hann_window(win_size)
+    pad = (n_fft - hop_size) // 2
+    y = np.pad(y, [(0, 0)] * (y.ndim - 1) + [(pad, pad)], mode="reflect")
+    n = y.shape[-1]
+    num_frames = 1 + (n - n_fft) // hop_size
+    idx = np.arange(num_frames)[:, None] * hop_size + np.arange(n_fft)[None, :]
+    frames = y[..., idx] * window
+    spec = np.fft.rfft(frames, axis=-1)
+    mag = np.sqrt(spec.real**2 + spec.imag**2 + 1e-9).astype(np.float32)
+    mel = mag @ mel_w.T
+    return np.log(np.clip(mel, 1e-5, None))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -1,0 +1,57 @@
+"""Device mesh + sharding helpers.
+
+The reference's only parallelism is data-parallel DDP over NCCL
+(SPIRAL/README.md:36-42; PL `accelerator='ddp'`). The TPU-native equivalent is
+a 1-D (or 2-D, for future model parallelism) ``jax.sharding.Mesh`` with the
+batch sharded over the 'data' axis and parameters replicated; XLA inserts the
+gradient all-reduce over ICI automatically from the sharding annotations.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    model_parallel: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """1-D data mesh by default; (data, model) 2-D when model_parallel > 1."""
+    devs = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    n = len(devs)
+    assert n % model_parallel == 0, (n, model_parallel)
+    arr = np.array(devs).reshape(n // model_parallel, model_parallel)
+    if model_parallel == 1:
+        return Mesh(arr[:, 0], (DATA_AXIS,))
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a pytree of host arrays with the batch dim sharded over 'data'."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (params/opt state) across the mesh."""
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)

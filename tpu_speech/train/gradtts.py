@@ -1,0 +1,149 @@
+"""Grad-TTS training loop: jitted DP train step + epoch driver.
+
+The reference loop (Grad-TTS/train.py:97-175) is a Python loop over
+loss/backward/clip/step with CPU-side MAS; here the entire update — encoder,
+MAS, crop, diffusion loss, grads, per-module clip, Adam — is one jitted,
+donated function. Data parallelism: batch sharded over the mesh 'data' axis,
+params replicated; XLA inserts the gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tpu_speech.models.grad_tts import GradTTS
+from tpu_speech.parallel.mesh import make_mesh, replicate, shard_batch
+from tpu_speech.train.optim import clip_subtree_by_global_norm
+from tpu_speech.train.state import TrainState
+from tpu_speech.utils.checkpoint import Checkpointer
+
+
+def make_train_step(model: GradTTS, tx: optax.GradientTransformation,
+                    out_size: Optional[int]):
+    """Returns jitted step(state, batch, rng) -> (state, metrics)."""
+
+    def loss_fn(params, batch, rng):
+        dur_loss, prior_loss, diff_loss = model.apply(
+            {"params": params},
+            batch["x"], batch["x_lengths"], batch["y"], batch["y_lengths"],
+            rng,
+            spk=batch.get("spk"),
+            out_size=out_size,
+            train=True,
+            rngs={"dropout": jax.random.fold_in(rng, 7)},
+        )
+        loss = dur_loss + prior_loss + diff_loss
+        return loss, (dur_loss, prior_loss, diff_loss)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, rng):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (dur, prior, diff)), grads = grad_fn(
+            state.params["params"], batch, rng
+        )
+        # per-module clip to max_norm=1 (train.py:115-118); spk_emb rides with
+        # the encoder group (reference leaves it unclipped; it is tiny)
+        grads, enc_norm = clip_subtree_by_global_norm(grads, ("encoder",), 1.0)
+        grads, dec_norm = clip_subtree_by_global_norm(grads, ("estimator",), 1.0)
+        updates, opt_state = tx.update(
+            grads, state.opt_state, state.params["params"]
+        )
+        params = optax.apply_updates(state.params["params"], updates)
+        metrics = {
+            "loss": loss, "dur_loss": dur, "prior_loss": prior,
+            "diff_loss": diff, "enc_grad_norm": enc_norm,
+            "dec_grad_norm": dec_norm,
+        }
+        return (
+            TrainState(state.step + 1, {"params": params}, opt_state),
+            metrics,
+        )
+
+    return train_step
+
+
+class GradTTSTrainer:
+    """Epoch driver: logging (TensorBoard + train.log), checkpoints, resume."""
+
+    def __init__(
+        self,
+        model: GradTTS,
+        params,
+        log_dir: str,
+        learning_rate: float = 1e-4,
+        out_size: Optional[int] = None,
+        mesh=None,
+        save_every: int = 1,
+    ):
+        self.model = model
+        self.log_dir = log_dir
+        os.makedirs(log_dir, exist_ok=True)
+        self.tx = optax.adam(learning_rate)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.state = TrainState.create({"params": params["params"]}, self.tx)
+        self.state = replicate(self.mesh, self.state)
+        self.train_step = make_train_step(model, self.tx, out_size)
+        self.ckpt = Checkpointer(os.path.join(log_dir, "ckpt"))
+        self.save_every = save_every
+        try:
+            from tensorboardX import SummaryWriter
+
+            self.tb = SummaryWriter(log_dir)
+        except Exception:
+            self.tb = None
+        self.iteration = 0
+
+    def resume_if_exists(self) -> bool:
+        restored = self.ckpt.restore_latest(jax.device_get(self.state))
+        if restored is None:
+            return False
+        self.state = replicate(self.mesh, restored)
+        self.iteration = int(restored.step)
+        return True
+
+    def train_epoch(self, loader, epoch: int, base_rng: jax.Array):
+        agg = {"dur_loss": [], "prior_loss": [], "diff_loss": []}
+        t0 = time.time()
+        n_frames = 0
+        for batch in loader:
+            rng = jax.random.fold_in(base_rng, self.iteration)
+            batch = shard_batch(self.mesh, batch)
+            self.state, metrics = self.train_step(self.state, batch, rng)
+            if self.tb is not None and self.iteration % 10 == 0:
+                m = jax.device_get(metrics)
+                self.tb.add_scalar("training/duration_loss", float(m["dur_loss"]), self.iteration)
+                self.tb.add_scalar("training/prior_loss", float(m["prior_loss"]), self.iteration)
+                self.tb.add_scalar("training/diffusion_loss", float(m["diff_loss"]), self.iteration)
+                self.tb.add_scalar("training/encoder_grad_norm", float(m["enc_grad_norm"]), self.iteration)
+                self.tb.add_scalar("training/decoder_grad_norm", float(m["dec_grad_norm"]), self.iteration)
+            m = jax.device_get(metrics)
+            for k in agg:
+                agg[k].append(float(m[k]))
+            n_frames += int(np.sum(jax.device_get(batch["y_lengths"])))
+            self.iteration += 1
+
+        dt = time.time() - t0
+        msg = (
+            "Epoch %d: duration loss = %.3f | prior loss = %.3f "
+            "| diffusion loss = %.3f | %.0f frames/s\n"
+            % (
+                epoch,
+                float(np.mean(agg["dur_loss"])) if agg["dur_loss"] else float("nan"),
+                float(np.mean(agg["prior_loss"])) if agg["prior_loss"] else float("nan"),
+                float(np.mean(agg["diff_loss"])) if agg["diff_loss"] else float("nan"),
+                n_frames / max(dt, 1e-9),
+            )
+        )
+        with open(os.path.join(self.log_dir, "train.log"), "a") as f:
+            f.write(msg)
+        if epoch % self.save_every == 0:
+            self.ckpt.save(self.iteration, jax.device_get(self.state))
+        return {k: float(np.mean(v)) if v else float("nan") for k, v in agg.items()}
