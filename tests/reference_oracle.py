@@ -38,9 +38,37 @@ def load_gradtts_reference():
     return sys.modules["model"]
 
 
+def _install_audio_stubs():
+    """DiffVC/model/utils.py imports librosa + torchaudio (absent here); stub
+    them with our native equivalents so the torch model graph is importable."""
+    if "librosa" in sys.modules and hasattr(sys.modules["librosa"], "__stub__"):
+        return
+    import numpy as np
+
+    from tpu_speech.audio.mel import mel_filterbank
+
+    librosa = types.ModuleType("librosa")
+    librosa.__stub__ = True
+    filters = types.ModuleType("librosa.filters")
+
+    def mel(sr, n_fft, n_mels=128, fmin=0.0, fmax=None, **kw):
+        return np.asarray(mel_filterbank(sr, n_fft, n_mels, fmin, fmax or sr / 2))
+
+    filters.mel = mel
+    librosa.filters = filters
+    sys.modules["librosa"] = librosa
+    sys.modules["librosa.filters"] = filters
+
+    if "torchaudio" not in sys.modules:
+        torchaudio = types.ModuleType("torchaudio")
+        torchaudio.functional = types.SimpleNamespace(istft=None)
+        sys.modules["torchaudio"] = torchaudio
+
+
 def load_diffvc_reference():
     """Returns the reference DiffVC `model` package (torch)."""
     _purge_module_namespace()
+    _install_audio_stubs()
     if DIFFVC_DIR not in sys.path:
         sys.path.insert(0, DIFFVC_DIR)
     import model  # noqa: F401

@@ -1,0 +1,83 @@
+"""Speaker encoder parity (LSTM vs torch) + vocoding utility tests."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from tpu_speech.compat.torch_speaker_encoder import convert_speaker_encoder  # noqa: E402
+from tpu_speech.models.speaker_encoder import (  # noqa: E402
+    SpeakerEncoder,
+    compute_partial_slices,
+    embed_utterance,
+    ge2e_loss,
+    normalize_volume,
+    wav_to_mel_spectrogram,
+)
+
+
+class TorchSpeakerEncoder(torch.nn.Module):
+    """Minimal torch twin of the reference encoder (model.py:14-62) used as
+    oracle (the reference file imports sklearn/webrtcvad, absent here)."""
+
+    def __init__(self, mel_n=40, hidden=64, emb=64, layers=3):
+        super().__init__()
+        self.lstm = torch.nn.LSTM(mel_n, hidden, layers, batch_first=True)
+        self.linear = torch.nn.Linear(hidden, emb)
+
+    def forward(self, x):
+        out, (hidden, cell) = self.lstm(x)
+        raw = torch.relu(self.linear(hidden[-1]))
+        return raw / torch.norm(raw, dim=1, keepdim=True)
+
+
+def test_lstm_encoder_parity(rng):
+    torch.manual_seed(0)
+    tm = TorchSpeakerEncoder()
+    tm.eval()
+    x = rng.standard_normal((3, 20, 40)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+
+    params = convert_speaker_encoder(tm.state_dict())
+    model = SpeakerEncoder(hidden_size=64, embedding_size=64, num_layers=3)
+    got = model.apply({"params": params["params"]}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_embed_utterance_shape(rng):
+    model = SpeakerEncoder(hidden_size=32, embedding_size=32, num_layers=2)
+    wav = rng.standard_normal(16000 * 2).astype(np.float32) * 0.1
+    frames = wav_to_mel_spectrogram(wav)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(frames[None, :160]))
+    emb = embed_utterance(model, params, wav)
+    assert emb.shape == (32,)
+    assert np.isclose(np.linalg.norm(emb), 1.0, atol=1e-5)
+
+
+def test_partial_slices():
+    wav_slices, mel_slices = compute_partial_slices(16000 * 3)
+    assert len(wav_slices) == len(mel_slices) >= 2
+    assert all(s.stop - s.start == 160 for s in mel_slices)
+
+
+def test_ge2e_loss_separates_speakers(rng):
+    # identical embeddings per speaker, orthogonal across -> tiny loss
+    e = np.zeros((4, 5, 16), dtype=np.float32)
+    for s in range(4):
+        e[s, :, s] = 1.0
+    loss_good, _ = ge2e_loss(jnp.asarray(e), 10.0, -5.0)
+    e_bad = rng.standard_normal((4, 5, 16)).astype(np.float32)
+    e_bad /= np.linalg.norm(e_bad, axis=2, keepdims=True)
+    loss_bad, _ = ge2e_loss(jnp.asarray(e_bad), 10.0, -5.0)
+    assert float(loss_good) < float(loss_bad)
+
+
+def test_normalize_volume():
+    wav = np.ones(1000, dtype=np.float32) * 0.001
+    out = normalize_volume(wav, -30, increase_only=True)
+    dbfs = 10 * np.log10(np.mean(out**2))
+    assert np.isclose(dbfs, -30, atol=0.5)

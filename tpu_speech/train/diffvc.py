@@ -1,0 +1,141 @@
+"""DiffVC two-stage training: average-voice encoder, then decoder.
+
+Mirrors DiffVC/train_enc.py:50-132 (encoder: masked MSE to avg-mels, Adam
+5e-4) and DiffVC/train_dec.py:57-140 (decoder: score matching with frozen
+encoder, Adam 1e-4), as jitted DP steps over the mesh.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tpu_speech.models.diffvc.encoder import FwdDiffusion
+from tpu_speech.models.diffvc.vc import DiffVC
+from tpu_speech.ops.masks import sequence_mask
+from tpu_speech.parallel.mesh import make_mesh, replicate, shard_batch
+from tpu_speech.train.state import TrainState
+from tpu_speech.utils.checkpoint import Checkpointer
+
+
+def make_enc_train_step(model: FwdDiffusion, tx):
+    def loss_fn(params, batch, rng):
+        mask = sequence_mask(batch["lengths"], batch["x"].shape[1]).astype(
+            batch["x"].dtype
+        )[:, :, None]
+        return model.apply(
+            {"params": params}, batch["x"], batch["y"], mask,
+            train=True, method=FwdDiffusion.compute_loss,
+            rngs={"dropout": rng},
+        )
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params["params"], batch, rng
+        )
+        grads_flat = jax.tree.leaves(grads)
+        gnorm = jnp.sqrt(sum(jnp.sum(g * g) for g in grads_flat))
+        scale = jnp.minimum(1.0, 1.0 / (gnorm + 1e-6))
+        grads = jax.tree.map(lambda g: g * scale, grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params["params"])
+        params = optax.apply_updates(state.params["params"], updates)
+        return (
+            TrainState(state.step + 1, {"params": params}, opt_state),
+            {"loss": loss, "grad_norm": gnorm},
+        )
+
+    return step
+
+
+def make_dec_train_step(model: DiffVC, tx):
+    def loss_fn(params, batch, rng):
+        return model.apply(
+            {"params": params},
+            batch["mel1"], batch["mel_lengths"], batch["mel2"], batch["c"],
+            rng, train=True, rngs={"dropout": jax.random.fold_in(rng, 5)},
+        )
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params["params"], batch, rng
+        )
+        # decoder-only training: zero encoder grads (frozen, vc.py:141-142
+        # detaches; clip decoder to max_norm 1 as train_dec.py:108)
+        grads = dict(grads)
+        grads["encoder"] = jax.tree.map(jnp.zeros_like, grads["encoder"])
+        dec_leaves = jax.tree.leaves(grads["estimator"])
+        gnorm = jnp.sqrt(sum(jnp.sum(g * g) for g in dec_leaves))
+        scale = jnp.minimum(1.0, 1.0 / (gnorm + 1e-6))
+        grads["estimator"] = jax.tree.map(
+            lambda g: g * scale, grads["estimator"]
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params["params"])
+        params = optax.apply_updates(state.params["params"], updates)
+        return (
+            TrainState(state.step + 1, {"params": params}, opt_state),
+            {"loss": loss, "grad_norm": gnorm},
+        )
+
+    return step
+
+
+class DiffVCTrainer:
+    """Generic epoch driver shared by both stages."""
+
+    def __init__(self, step_fn, state, log_dir: str, mesh=None, save_every=1):
+        self.step_fn = step_fn
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.state = replicate(self.mesh, state)
+        self.log_dir = log_dir
+        os.makedirs(log_dir, exist_ok=True)
+        self.ckpt = Checkpointer(os.path.join(log_dir, "ckpt"))
+        self.save_every = save_every
+        self.iteration = 0
+        try:
+            from tensorboardX import SummaryWriter
+
+            self.tb = SummaryWriter(log_dir)
+        except Exception:
+            self.tb = None
+
+    def resume_if_exists(self) -> bool:
+        restored = self.ckpt.restore_latest(jax.device_get(self.state))
+        if restored is None:
+            return False
+        self.state = replicate(self.mesh, restored)
+        self.iteration = int(restored.step)
+        return True
+
+    def train_epoch(self, loader, epoch: int, base_rng):
+        losses = []
+        t0 = time.time()
+        for batch in loader:
+            rng = jax.random.fold_in(base_rng, self.iteration)
+            self.state, metrics = self.step_fn(
+                self.state, shard_batch(self.mesh, batch), rng
+            )
+            m = jax.device_get(metrics)
+            losses.append(float(m["loss"]))
+            if self.tb is not None and self.iteration % 10 == 0:
+                self.tb.add_scalar("training/loss", float(m["loss"]), self.iteration)
+                self.tb.add_scalar(
+                    "training/grad_norm", float(m["grad_norm"]), self.iteration
+                )
+            self.iteration += 1
+        mean_loss = float(np.mean(losses)) if losses else float("nan")
+        with open(os.path.join(self.log_dir, "train.log"), "a") as f:
+            f.write(
+                "Epoch %d: loss = %.4f | %.1fs\n"
+                % (epoch, mean_loss, time.time() - t0)
+            )
+        if epoch % self.save_every == 0:
+            self.ckpt.save(self.iteration, jax.device_get(self.state))
+        return mean_loss
