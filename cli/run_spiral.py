@@ -1,0 +1,121 @@
+"""SPIRAL launcher (same surface as the reference SPIRAL/run_spiral.py:25-167):
+python config modules as structured experiment files, CLI overrides, dispatch
+to pretrain / finetune train / test."""
+
+import argparse
+import dataclasses
+import os
+import sys
+from importlib import import_module
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def str2bool(v):
+    return str(v).lower() in ("true", "1", "yes")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Run training",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.add_argument("--data_dir", type=str, default="", help="Dataset Path")
+    parser.add_argument("--manifest_dir", type=str, default="")
+    parser.add_argument("--model_save_dir", type=str, default="logs/spiral")
+    parser.add_argument("--config_path", type=str, default="conf/spiral")
+    parser.add_argument("--config_name", type=str, required=True)
+    parser.add_argument("--num_devices", type=int, default=0,
+                        help="devices to use (0 = all)")
+    parser.add_argument("--num_nodes", type=int, default=1)
+    parser.add_argument("--resume_if_exists", type=str2bool, default=True)
+    parser.add_argument("--run_mode", type=str, default="train",
+                        choices=["train", "test"])
+    parser.add_argument("--init_chkpt_dir", type=str, default="")
+    parser.add_argument("--init_chkpt_file", type=str, default="")
+    parser.add_argument("--test_manifest", type=str, default="")
+    parser.add_argument("--model_type", type=str, default="spiral",
+                        choices=["spiral", "st2vec", "ctc_finetune"])
+    parser.add_argument("--finetune_from_scratch", type=str2bool, default=False)
+    parser.add_argument("--use_teacher_encoder", type=str2bool, default=False)
+    parser.add_argument("--save_logits", type=str2bool, default=False)
+    parser.add_argument("--tokenizer_file", type=str, default="")
+    parser.add_argument("--max_epochs", type=int, default=0)
+    args = parser.parse_args(args=argv)
+    print(f"training args: {args}")
+
+    cfg_module = import_module(
+        os.path.join(args.config_path, args.config_name).replace("/", ".")
+    )
+    cfg = cfg_module.cfg
+
+    manifest_dir = args.manifest_dir or args.data_dir
+    for ds in (cfg.model.train_ds, cfg.model.validation_ds, cfg.model.test_ds):
+        if ds is not None and manifest_dir:
+            ds.manifest_filepath = ",".join(
+                os.path.join(manifest_dir, os.path.basename(p))
+                if not os.path.isabs(p) else p
+                for p in ds.manifest_filepath.split(",")
+            )
+    if args.test_manifest and cfg.model.test_ds is not None:
+        cfg.model.test_ds.manifest_filepath = args.test_manifest
+    if args.max_epochs:
+        cfg.trainer.max_epochs = args.max_epochs
+
+    log_dir = args.model_save_dir
+    print(f"train config: {cfg}")
+
+    if args.model_type in ("spiral", "st2vec"):
+        from tpu_speech.train.spiral_runner import SpiralPretrainRunner
+
+        runner = SpiralPretrainRunner(cfg, log_dir)
+        if args.resume_if_exists and runner.resume_if_exists():
+            print(f"Resumed from iteration {runner.iteration}")
+        for epoch in range(1, cfg.trainer.max_epochs + 1):
+            loss = runner.train_epoch(epoch)
+            print(f"Epoch {epoch}: loss = {loss:.4f}", flush=True)
+            if cfg.trainer.max_steps and runner.iteration >= cfg.trainer.max_steps:
+                break
+        return
+
+    # ctc_finetune
+    from tpu_speech.text.tokenizers import CharTokenizer, SubwordTokenizer
+    from tpu_speech.train.spiral_runner import SpiralFinetuneRunner
+
+    if args.tokenizer_file:
+        tokenizer = SubwordTokenizer(args.tokenizer_file)
+    else:
+        tokenizer = CharTokenizer(cfg.model.labels)
+
+    if args.run_mode == "train" and not args.finetune_from_scratch:
+        if args.init_chkpt_dir and args.init_chkpt_file:
+            cfg.model.pretrain_chkpt_path = os.path.join(
+                args.init_chkpt_dir, args.init_chkpt_file
+            )
+    cfg.model.use_teacher_encoder = args.use_teacher_encoder
+
+    runner = SpiralFinetuneRunner(cfg, log_dir, tokenizer)
+    if args.resume_if_exists and runner.resume_if_exists():
+        print(f"Resumed from iteration {runner.iteration}")
+
+    if args.run_mode == "test":
+        results = runner.evaluate(
+            save_logits_dir=os.path.join(log_dir, "logits")
+            if args.save_logits else None
+        )
+        print(
+            f"TEST: WER = {results['wer']:.4f} | CER = {results['cer']:.4f} "
+            f"| {results['n']} utts"
+        )
+        return
+
+    for epoch in range(1, cfg.trainer.max_epochs + 1):
+        loss = runner.train_epoch(epoch)
+        print(f"Epoch {epoch}: ctc loss = {loss:.4f}", flush=True)
+        if cfg.trainer.max_steps and runner.iteration >= cfg.trainer.max_steps:
+            break
+
+
+if __name__ == "__main__":
+    main()

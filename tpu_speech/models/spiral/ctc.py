@@ -1,0 +1,186 @@
+"""CTC decoder head + finetune model for SPIRAL.
+
+Re-design of SPIRAL/nemo/collections/asr/modules/conv_asr.py:214-360
+(ConvASRDecoder) and models/spec2vec/ctc_finetune.py:59-555: pretrained
+ST2Vec feature encoder (features_only) + conv decoder -> log-probs -> CTC.
+The encoder-freeze-for-N-updates trick (ctc_finetune.py:403-405) becomes a
+stop_gradient gate inside the jitted step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tpu_speech.models.spiral.conv_layers import ConvNormAct, ProjUpsampling, create_pad_mask
+from tpu_speech.models.spiral.encoder import ConvLayerCfg
+from tpu_speech.models.spiral.masking import apply_mask, gaussian_mask_emb
+from tpu_speech.models.spiral.st2vec import ST2VecConfig, ST2VecEncoder, wav_to_spec
+
+
+class ConvASRDecoder(nn.Module):
+    """Conv stack + 1x1 projection to vocab logits, log-softmax output."""
+
+    num_classes: int
+    conv_layers: Tuple[ConvLayerCfg, ...] = (
+        ConvLayerCfg(512, (5,), (1,), None, "relu", 0.1),
+        ConvLayerCfg(512, (5,), (1,), None, "relu", 0.1),
+    )
+    blank_pos: str = "vocab_first"
+    upsample_rate: Optional[int] = None
+    upsample_filters: int = 512
+
+    @property
+    def blank_idx(self) -> int:
+        if self.blank_pos == "vocab_first":
+            return 0
+        return self.num_classes_with_blank - 1
+
+    @property
+    def num_classes_with_blank(self) -> int:
+        if self.blank_pos == "after_vocab_last":
+            return self.num_classes + 1
+        return self.num_classes
+
+    @nn.compact
+    def __call__(self, x, lens, train: bool = False):
+        if self.upsample_rate is not None:
+            x, lens = ProjUpsampling(
+                self.upsample_filters, (5,), self.upsample_rate,
+                name="proj_upsampling",
+            )(x, lens, train=train)
+        pad_mask = create_pad_mask(lens, x.shape[1])
+        for i, c in enumerate(self.conv_layers):
+            x, lens, pad_mask = ConvNormAct(
+                c.filters, c.kernel_size, c.stride, c.norm_type, c.act_func,
+                c.dropout, "1d", bias=c.bias, name=f"conv_{i}",
+            )(x, lens, pad_mask, train=train)
+        logits = nn.Dense(self.num_classes_with_blank, name="decoder_proj")(x)
+        return nn.log_softmax(logits, axis=-1), lens
+
+
+class CTCFinetuneModel(nn.Module):
+    """ST2Vec encoder (features only) + ConvASRDecoder (ctc_finetune.py:59-)."""
+
+    encoder_cfg: ST2VecConfig
+    num_classes: int
+    blank_pos: str = "vocab_first"
+    decoder_convs: Tuple[ConvLayerCfg, ...] = (
+        ConvLayerCfg(512, (5,), (1,), None, "relu", 0.1),
+        ConvLayerCfg(512, (5,), (1,), None, "relu", 0.1),
+    )
+
+    @property
+    def blank_idx(self) -> int:
+        if self.blank_pos == "vocab_first":
+            return 0
+        if self.blank_pos == "after_vocab_last":
+            return self.num_classes  # appended blank
+        return self.num_classes - 1
+
+    def setup(self):
+        self.encoder = ST2VecEncoder(self.encoder_cfg)
+        self.decoder = ConvASRDecoder(
+            self.num_classes, self.decoder_convs, self.blank_pos
+        )
+
+    def __call__(self, specs, spec_lens, train: bool = False,
+                 freeze_encoder: bool = False):
+        feats, feat_lens = self.encoder.encode_features(
+            specs, spec_lens, train=train
+        )
+        if freeze_encoder:
+            feats = jax.lax.stop_gradient(feats)
+        return self.decoder(feats, feat_lens, train=train)
+
+
+def ctc_loss(log_probs, logit_lens, labels, label_lens, blank_idx: int):
+    """Mean-over-batch CTC loss (losses/ctc.py:31-131 semantics)."""
+    b, t, _ = log_probs.shape
+    logit_mask = (
+        jnp.arange(t)[None, :] >= logit_lens[:, None]
+    ).astype(log_probs.dtype)
+    label_mask = (
+        jnp.arange(labels.shape[1])[None, :] >= label_lens[:, None]
+    ).astype(log_probs.dtype)
+    per_seq = optax.ctc_loss(
+        log_probs, logit_mask, labels, label_mask, blank_id=blank_idx
+    )
+    return jnp.mean(per_seq)
+
+
+@flax.struct.dataclass
+class CTCTrainState:
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_finetune_step(model: CTCFinetuneModel, cfg: ST2VecConfig, tx,
+                       freeze_finetune_updates: int = 0):
+    mask_emb = jnp.asarray(gaussian_mask_emb(cfg.num_features))
+
+    def loss_fn(params, batch_stats, batch, rng, freeze: bool):
+        rngs = {"dropout": jax.random.fold_in(rng, 0)}
+        specs, spec_lens = wav_to_spec(
+            cfg, batch["wavs"], batch["wav_lens"], training=True,
+            rng=jax.random.fold_in(rng, 1),
+        )
+        # spec-masking as a SpecAugment-style regularizer (ctc_finetune.py:394-424)
+        if "time_mask" in batch:
+            specs = apply_mask(
+                specs, batch["time_mask"], batch.get("chan_mask"), mask_emb
+            )
+        (log_probs, logit_lens), new_state = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            specs, spec_lens, train=True, freeze_encoder=freeze,
+            rngs=rngs, mutable=["batch_stats"],
+        )
+        loss = ctc_loss(
+            log_probs, logit_lens, batch["labels"], batch["label_lens"],
+            model.blank_idx,
+        )
+        return loss, new_state.get("batch_stats", batch_stats)
+
+    @partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+    def step(state: CTCTrainState, batch, rng, freeze: bool):
+        (loss, batch_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, rng, freeze
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            CTCTrainState(state.step + 1, params, batch_stats, opt_state),
+            {"loss": loss},
+        )
+
+    def step_auto(state, batch, rng):
+        freeze = int(jax.device_get(state.step)) < freeze_finetune_updates
+        return step(state, batch, rng, freeze)
+
+    return step_auto
+
+
+def load_pretrained_encoder(finetune_params, pretrain_params,
+                            use_teacher: bool = False,
+                            pretrain_teacher=None):
+    """Checkpoint surgery: copy the pretrained feature_encoder into the
+    finetune tree (init_encoder_from_pretrain_model, ctc_finetune.py:511-533;
+    optional teacher weights, st2vec_model.py:318-327)."""
+    out = jax.tree.map(lambda x: x, finetune_params)  # shallow copy
+    src = (
+        pretrain_teacher["feature_encoder"]
+        if (use_teacher and pretrain_teacher is not None)
+        else pretrain_params["feature_encoder"]
+    )
+    out["encoder"]["feature_encoder"] = jax.tree.map(jnp.asarray, src)
+    return out

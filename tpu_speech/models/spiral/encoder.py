@@ -1,0 +1,151 @@
+"""SPIRAL FeatureEncoder (conv-subsample + transformer blocks) and Projector.
+
+Re-design of SPIRAL/nemo/collections/asr/parts/spec2vec.py:27-185 with
+dataclass configs mirroring the reference experiment files
+(examples/asr/conf/spiral/spiral_base_pretrain_ls960.py:48-153).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tpu_speech.models.spiral.conv_layers import ConvNormAct, create_pad_mask
+from tpu_speech.models.spiral.wav2vec import TransformerEncoder
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvLayerCfg:
+    filters: int
+    kernel_size: Tuple[int, ...] = (5,)
+    stride: Tuple[int, ...] = (1,)
+    norm_type: Optional[str] = "ln"
+    act_func: Optional[str] = "relu"
+    dropout: float = 0.0
+    bias: Optional[bool] = True
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerCfg:
+    encoder_layers: int
+    embedding_dim: int
+    ffn_embedding_dim: int
+    num_attention_heads: int
+    dropout: float = 0.1
+    encoder_layerdrop: float = 0.0
+    conv_pos: int = 128
+    conv_pos_groups: int = 16
+    layer_norm_first: bool = True
+    activation_fn: str = "gelu"
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvTransformerBlockCfg:
+    conv_layers: Tuple[ConvLayerCfg, ...]
+    transformer: Optional[TransformerCfg] = None
+
+
+# SPIRAL-base feature encoder (spiral_base_pretrain_ls960.py:48-111)
+def spiral_base_blocks() -> Tuple[ConvTransformerBlockCfg, ...]:
+    return (
+        ConvTransformerBlockCfg(
+            conv_layers=(
+                ConvLayerCfg(384, (5,), (2,), "ln", "relu", 0.1),
+                ConvLayerCfg(512, (5,), (2,), "ln", "relu", 0.1),
+                ConvLayerCfg(512, (1,), (1,), "ln", None, 0.0),
+            ),
+            transformer=TransformerCfg(2, 512, 2048, 8, 0.1, 0.0),
+        ),
+        ConvTransformerBlockCfg(
+            conv_layers=(
+                ConvLayerCfg(1536, (5,), (2,), "ln", "relu", 0.1),
+                ConvLayerCfg(768, (1,), (1,), "ln", None, 0.0),
+            ),
+            transformer=TransformerCfg(10, 768, 3072, 12, 0.1, 0.05),
+        ),
+    )
+
+
+class FeatureEncoder(nn.Module):
+    """specs (B, T, F) -> features (B, T', D) with per-conv length tracking."""
+
+    blocks: Tuple[ConvTransformerBlockCfg, ...]
+    use_conv_mask: bool = True
+
+    @property
+    def output_dim(self) -> int:
+        last = self.blocks[-1]
+        if last.transformer is not None:
+            return last.transformer.embedding_dim
+        return last.conv_layers[-1].filters
+
+    @property
+    def subsample_factor(self) -> int:
+        f = 1
+        for blk in self.blocks:
+            for c in blk.conv_layers:
+                f *= c.stride[0]
+        return f
+
+    def subsampled_lens(self, lens):
+        for blk in self.blocks:
+            for c in blk.conv_layers:
+                if c.stride[0] > 1:
+                    lens = (lens + c.stride[0] - 1) // c.stride[0]
+        return lens
+
+    @nn.compact
+    def __call__(self, x, lens, train: bool = False):
+        pad_mask = create_pad_mask(lens, x.shape[1]) if self.use_conv_mask else None
+        for bi, blk in enumerate(self.blocks):
+            for ci, c in enumerate(blk.conv_layers):
+                x, lens, pad_mask = ConvNormAct(
+                    c.filters, c.kernel_size, c.stride, c.norm_type,
+                    c.act_func, c.dropout, "1d", bias=c.bias,
+                    name=f"block{bi}_conv{ci}",
+                )(x, lens, pad_mask, train=train)
+            if blk.transformer is not None:
+                t = blk.transformer
+                x = TransformerEncoder(
+                    t.embedding_dim, t.encoder_layers, t.ffn_embedding_dim,
+                    t.num_attention_heads, t.dropout,
+                    encoder_layerdrop=t.encoder_layerdrop,
+                    conv_pos=t.conv_pos, conv_pos_groups=t.conv_pos_groups,
+                    layer_norm_first=t.layer_norm_first,
+                    activation_fn=t.activation_fn,
+                    name=f"block{bi}_transformer",
+                )(x, pad_mask, train=train)
+        return x, lens
+
+
+class Projector(nn.Module):
+    """Optional conv stack + optional transformer + linear out-proj
+    (spec2vec.py:128-185)."""
+
+    conv_layers: Tuple[ConvLayerCfg, ...] = ()
+    transformer: Optional[TransformerCfg] = None
+    output_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x, lens, train: bool = False):
+        pad_mask = create_pad_mask(lens, x.shape[1])
+        for ci, c in enumerate(self.conv_layers):
+            assert c.stride == (1,)
+            x, lens, pad_mask = ConvNormAct(
+                c.filters, c.kernel_size, c.stride, c.norm_type, c.act_func,
+                c.dropout, "1d", bias=c.bias, name=f"conv{ci}",
+            )(x, lens, pad_mask, train=train)
+        if self.transformer is not None:
+            t = self.transformer
+            x = TransformerEncoder(
+                t.embedding_dim, t.encoder_layers, t.ffn_embedding_dim,
+                t.num_attention_heads, t.dropout,
+                encoder_layerdrop=t.encoder_layerdrop,
+                name="transformer",
+            )(x, pad_mask, train=train)
+        if self.output_dim is not None:
+            x = nn.Dense(self.output_dim, name="output_proj")(x)
+        return x

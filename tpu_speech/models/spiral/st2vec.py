@@ -1,0 +1,201 @@
+"""ST2Vec: SPIRAL's teacher-student perturbation-invariant pretraining core.
+
+TPU-native re-design of
+SPIRAL/nemo/collections/asr/models/st2vec/st2vec_model.py:66-606. Differences
+that matter on TPU:
+
+- the teacher position shift (RandomShift, :425-510) keeps a static buffer of
+  T + 2*max_shift spec frames and uses dynamic_update_slice / dynamic_slice
+  with traced shift amounts instead of shape-changing pads;
+- the "flatten valid frames into a fake batch" negative sampling (:375-413)
+  becomes a fixed-shape per-frame gather with validity masks: every (b, t)
+  samples n_negatives indices uniformly from the same utterance's valid
+  frames excluding t;
+- the EMA teacher is a separate parameter tree updated by a pytree lerp in the
+  jitted train step (ema_update :568-571, cosine momentum schedule :588-606);
+- span/channel mask indices are computed host-side (numpy, as the reference
+  does) and passed into the step as boolean arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_speech.models.spiral.encoder import (
+    ConvLayerCfg,
+    ConvTransformerBlockCfg,
+    FeatureEncoder,
+    Projector,
+    TransformerCfg,
+    spiral_base_blocks,
+)
+from tpu_speech.models.spiral.features import filterbank_features
+
+
+@dataclasses.dataclass(frozen=True)
+class ST2VecConfig:
+    blocks: Tuple[ConvTransformerBlockCfg, ...]
+    num_features: int = 128
+    sample_rate: int = 16000
+    projector_dim: int = 256
+    predictor_convs: Tuple[ConvLayerCfg, ...] = (
+        ConvLayerCfg(256, (5,), (1,), "bn", "relu", 0.0, bias=None),
+        ConvLayerCfg(256, (5,), (1,), "bn", "relu", 0.0, bias=None),
+    )
+    n_negatives: int = 100
+    logit_temp: float = 0.3
+    shift_unit: int = 8  # spec frames per feature frame (subsample factor)
+    max_shift: int = 16  # max teacher shift in units
+    target_momentum: float = 0.995
+    target_momentum_final: float = 1.0
+    target_momentum_steps: int = 200000
+    mask_prob: float = 0.5
+    mask_length: int = 20
+    mask_channel_prob: float = 0.4
+    mask_channel_length: int = 20
+
+
+def spiral_base_config(**overrides) -> ST2VecConfig:
+    return ST2VecConfig(blocks=spiral_base_blocks(), **overrides)
+
+
+class ST2VecEncoder(nn.Module):
+    """Student tower: feature encoder -> projector -> predictor.
+
+    The teacher tower reuses ``encode_teacher`` with its own (EMA) params.
+    """
+
+    cfg: ST2VecConfig
+
+    def setup(self):
+        self.feature_encoder = FeatureEncoder(self.cfg.blocks)
+        self.projector = Projector(output_dim=self.cfg.projector_dim)
+        self.predictor = Projector(
+            conv_layers=self.cfg.predictor_convs,
+            output_dim=self.cfg.projector_dim,
+        )
+
+    def encode_student(self, specs, spec_lens, train: bool = False):
+        feats, feat_lens = self.feature_encoder(specs, spec_lens, train=train)
+        proj = self.projector(feats, feat_lens, train=train)
+        pred = self.predictor(proj, feat_lens, train=train)
+        return pred, feat_lens
+
+    def encode_teacher(self, specs, spec_lens, train: bool = False):
+        feats, feat_lens = self.feature_encoder(specs, spec_lens, train=train)
+        proj = self.projector(feats, feat_lens, train=train)
+        return proj, feat_lens
+
+    def encode_features(self, specs, spec_lens, train: bool = False):
+        """features_only path (CTC finetune): encoder output, no projector."""
+        return self.feature_encoder(specs, spec_lens, train=train)
+
+    def __call__(self, specs, spec_lens, train: bool = False):
+        return self.encode_student(specs, spec_lens, train=train)
+
+
+def teacher_param_subset(params):
+    """Subtree the EMA teacher mirrors (feature_encoder + projector)."""
+    return {
+        "feature_encoder": params["feature_encoder"],
+        "projector": params["projector"],
+    }
+
+
+def ema_update(teacher, student, momentum):
+    """Pytree lerp: teacher <- m * teacher + (1 - m) * student."""
+    return jax.tree.map(
+        lambda t, s: t * momentum + (1.0 - momentum) * s,
+        teacher,
+        teacher_param_subset(student),
+    )
+
+
+def momentum_schedule(step, base, final, max_steps, kind: str = "cosine"):
+    frac = jnp.clip(step.astype(jnp.float32) / max_steps, 0.0, 1.0)
+    if kind == "linear":
+        return base + (final - base) * frac
+    return final + 0.5 * (base - final) * (1 + jnp.cos(jnp.pi * frac))
+
+
+def wav_to_spec(cfg: ST2VecConfig, wavs, wav_lens, training=False, rng=None):
+    return filterbank_features(
+        wavs, wav_lens, sample_rate=cfg.sample_rate, nfilt=cfg.num_features,
+        training=training, rng=rng,
+    )
+
+
+def teacher_shift(specs, spec_lens, k_units, r_units, unit, max_units,
+                  mask_emb):
+    """Left/right shift the clean specs by (k, r) feature units, filling
+    introduced frames with the mask embedding. Static output length
+    T + 2 * max_units * unit (RandomShift.shift, st2vec_model.py:443-485).
+    """
+    b, t, f = specs.shape
+    pad_total = 2 * max_units * unit
+    buf = jnp.zeros((b, t + pad_total, f), dtype=specs.dtype)
+    k_frames = k_units * unit
+    r_frames = r_units * unit
+    buf = jax.lax.dynamic_update_slice(buf, specs, (0, k_frames, 0))
+    new_lens = spec_lens + k_frames + r_frames
+    pos = jnp.arange(t + pad_total)[None, :]
+    # left fill [0, k) and right fill [len + k, len + k + r): mask embedding
+    left = pos < k_frames
+    right = (pos >= (spec_lens[:, None] + k_frames)) & (pos < new_lens[:, None])
+    fill = left | right
+    buf = jnp.where(fill[:, :, None], mask_emb[None, None, :], buf)
+    return buf, new_lens
+
+
+def sample_negatives(rng, feats, feat_lens, n_negatives):
+    """Per-frame negatives from the same utterance's valid frames, excluding
+    the frame itself (sample_negatives_flat, st2vec_model.py:375-413, without
+    the fake-batch flatten). feats: (B, T, D) -> (N, B, T, D)."""
+    b, t, d = feats.shape
+    high = jnp.maximum(feat_lens - 1, 1)[:, None, None]  # (B,1,1)
+    idx = jax.random.randint(rng, (b, t, n_negatives), 0, high)
+    pos = jnp.arange(t)[None, :, None]
+    idx = idx + (idx >= pos)
+    idx = jnp.minimum(idx, t - 1)
+    negs = jnp.take_along_axis(
+        feats[:, :, None, :], idx[..., None], axis=1
+    )  # gather over time: feats (B, T, 1, D), idx (B, T, N, 1)
+    return jnp.transpose(negs, (2, 0, 1, 3))  # (N, B, T, D)
+
+
+def contrastive_loss(
+    logits, targets, negatives, valid_mask, logit_temp: float
+):
+    """InfoNCE over cosine similarities (losses/wav2vecloss.py:55-128).
+
+    logits/targets: (B, T, D); negatives: (N, B, T, D);
+    valid_mask: (B, T) 1.0 at valid frames. Returns (loss, accuracy).
+    """
+    neg_is_pos = jnp.all(targets[None] == negatives, axis=-1)  # (N, B, T)
+    cand = jnp.concatenate([targets[None], negatives], axis=0)  # (1+N, B, T, D)
+
+    def cos(a, b):
+        num = jnp.sum(a * b, axis=-1)
+        den = jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1)
+        return num / jnp.maximum(den, 1e-8)
+
+    sims = cos(logits[None], cand) / logit_temp  # (1+N, B, T)
+    sims = jnp.concatenate(
+        [sims[:1], jnp.where(neg_is_pos, -1e9, sims[1:])], axis=0
+    )
+    logp = jax.nn.log_softmax(sims, axis=0)
+    ce = -logp[0]  # (B, T)
+    denom = jnp.maximum(jnp.sum(valid_mask), 1.0)
+    loss = jnp.sum(ce * valid_mask) / denom
+
+    arg = jnp.argmax(sims, axis=0)
+    arg_min = jnp.argmin(sims, axis=0)
+    correct = (arg == 0) & ~((arg == 0) & (arg_min == 0))
+    acc = jnp.sum(correct.astype(jnp.float32) * valid_mask) / denom
+    return loss, acc

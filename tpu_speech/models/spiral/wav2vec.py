@@ -1,0 +1,183 @@
+"""fairseq-style transformer encoder with convolutional positional embedding.
+
+Re-design of SPIRAL/nemo/collections/asr/parts/wav2vec.py:130-323 and
+parts/multihead_attention.py:15-: pre-LN BERT-style layers, grouped conv
+positional embedding with weight normalization (dim=2), layerdrop, GELU.
+Layout (B, T, C) throughout (no T-major transposes needed on TPU).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class ConvPositionalEmbedding(nn.Module):
+    """Grouped conv (k=128, g=16) with weight-norm(dim=2) + SamePad + GELU
+    (wav2vec.py:139-152)."""
+
+    embedding_dim: int
+    conv_pos: int = 128
+    conv_pos_groups: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        k, g, c = self.conv_pos, self.conv_pos_groups, self.embedding_dim
+        std = math.sqrt(4.0 / (k * c))
+        # weight-norm parametrization: direction v + per-k magnitude g
+        v = self.param("v", nn.initializers.normal(std), (k, c // g, c))
+        gmag = self.param(
+            "g",
+            lambda key, shape: jnp.linalg.norm(
+                nn.initializers.normal(std)(key, (k, c // g, c)),
+                axis=(1, 2),
+            ),
+            (k,),
+        )
+        b = self.param("bias", nn.initializers.zeros, (c,))
+        norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(1, 2), keepdims=True))
+        w = v / jnp.maximum(norm, 1e-12) * gmag[:, None, None]
+        y = lax.conv_general_dilated(
+            x, w, window_strides=(1,), padding=[(k // 2, k // 2)],
+            dimension_numbers=("NHC", "HIO", "NHC"), feature_group_count=g,
+        ) + b
+        if k % 2 == 0:  # SamePad: even kernel produces one extra frame
+            y = y[:, :-1]
+        return nn.gelu(y, approximate=False)
+
+
+class MultiheadSelfAttention(nn.Module):
+    """Standard softmax MHA with q/k/v/out projections (fairseq layout)."""
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, key_padding_mask=None, train: bool = False):
+        d_head = self.embed_dim // self.num_heads
+        q = nn.Dense(self.embed_dim, name="q_proj")(x) * (d_head**-0.5)
+        k = nn.Dense(self.embed_dim, name="k_proj")(x)
+        v = nn.Dense(self.embed_dim, name="v_proj")(x)
+        b, t, _ = x.shape
+        qh = q.reshape(b, t, self.num_heads, d_head)
+        kh = k.reshape(b, t, self.num_heads, d_head)
+        vh = v.reshape(b, t, self.num_heads, d_head)
+        scores = jnp.einsum("bthd,bshd->bhts", qh, kh)
+        if key_padding_mask is not None:
+            # True = padded (reference convention); finite fill so fully
+            # padded query rows yield zeros rather than NaNs after masking
+            scores = jnp.where(
+                key_padding_mask[:, None, None, :], -1e9, scores
+            )
+        p = nn.softmax(scores, axis=-1)
+        p = nn.Dropout(self.dropout, deterministic=not train)(p)
+        out = jnp.einsum("bhts,bshd->bthd", p, vh).reshape(b, t, self.embed_dim)
+        return nn.Dense(self.embed_dim, name="out_proj")(out)
+
+
+class TransformerSentenceEncoderLayer(nn.Module):
+    """Pre/post-LN transformer layer (wav2vec.py:219-322)."""
+
+    embedding_dim: int
+    ffn_embedding_dim: int
+    num_attention_heads: int
+    dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.0
+    activation_fn: str = "gelu"
+    layer_norm_first: bool = True
+
+    @nn.compact
+    def __call__(self, x, key_padding_mask=None, train: bool = False):
+        act = (
+            (lambda v: nn.gelu(v, approximate=False))
+            if self.activation_fn == "gelu"
+            else nn.relu
+        )
+        if self.layer_norm_first:
+            residual = x
+            h = nn.LayerNorm(name="self_attn_layer_norm")(x)
+            h = MultiheadSelfAttention(
+                self.embedding_dim, self.num_attention_heads,
+                self.attention_dropout, name="self_attn",
+            )(h, key_padding_mask, train=train)
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+            x = residual + h
+
+            residual = x
+            h = nn.LayerNorm(name="final_layer_norm")(x)
+            h = act(nn.Dense(self.ffn_embedding_dim, name="fc1")(h))
+            h = nn.Dropout(self.activation_dropout, deterministic=not train)(h)
+            h = nn.Dense(self.embedding_dim, name="fc2")(h)
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+            x = residual + h
+        else:
+            residual = x
+            h = MultiheadSelfAttention(
+                self.embedding_dim, self.num_attention_heads,
+                self.attention_dropout, name="self_attn",
+            )(x, key_padding_mask, train=train)
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+            x = nn.LayerNorm(name="self_attn_layer_norm")(residual + h)
+            residual = x
+            h = act(nn.Dense(self.ffn_embedding_dim, name="fc1")(x))
+            h = nn.Dropout(self.activation_dropout, deterministic=not train)(h)
+            h = nn.Dense(self.embedding_dim, name="fc2")(h)
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+            x = nn.LayerNorm(name="final_layer_norm")(residual + h)
+        return x
+
+
+class TransformerEncoder(nn.Module):
+    """Conv-pos embedding + layer stack with layerdrop (wav2vec.py:130-216)."""
+
+    embedding_dim: int
+    encoder_layers: int
+    ffn_embedding_dim: int
+    num_attention_heads: int
+    dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.0
+    activation_fn: str = "gelu"
+    layer_norm_first: bool = True
+    encoder_layerdrop: float = 0.0
+    conv_pos: int = 128
+    conv_pos_groups: int = 16
+
+    @nn.compact
+    def __call__(self, x, padding_mask=None, train: bool = False):
+        if padding_mask is not None:
+            x = jnp.where(padding_mask[:, :, None], 0.0, x)
+        x = x + ConvPositionalEmbedding(
+            self.embedding_dim, self.conv_pos, self.conv_pos_groups,
+            name="pos_conv",
+        )(x)
+        if not self.layer_norm_first:
+            x = nn.LayerNorm(name="layer_norm")(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+
+        for i in range(self.encoder_layers):
+            layer_out = TransformerSentenceEncoderLayer(
+                self.embedding_dim, self.ffn_embedding_dim,
+                self.num_attention_heads, self.dropout,
+                self.attention_dropout, self.activation_dropout,
+                self.activation_fn, self.layer_norm_first,
+                name=f"layer_{i}",
+            )(x, padding_mask, train=train)
+            if train and self.encoder_layerdrop > 0:
+                keep = jax.random.bernoulli(
+                    self.make_rng("dropout"), 1.0 - self.encoder_layerdrop
+                )
+                x = jnp.where(keep, layer_out, x)
+            else:
+                x = layer_out
+
+        if self.layer_norm_first:
+            x = nn.LayerNorm(name="layer_norm")(x)
+        return x

@@ -46,9 +46,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a pytree of host arrays with the batch dim sharded over 'data'."""
-    sharding = batch_sharding(mesh)
-    return jax.tree.map(lambda a: jax.device_put(a, sharding), batch)
+    """Place a pytree of host arrays with the batch dim sharded over 'data';
+    rank-0 leaves (per-step scalars) are replicated."""
+    sharded = NamedSharding(mesh, P(DATA_AXIS))
+    scalar = NamedSharding(mesh, P())
+
+    def put(a):
+        nd = getattr(a, "ndim", None)
+        if nd is None:
+            nd = np.ndim(a)
+        return jax.device_put(a, scalar if nd == 0 else sharded)
+
+    return jax.tree.map(put, batch)
 
 
 def replicate(mesh: Mesh, tree):

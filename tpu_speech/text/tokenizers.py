@@ -1,0 +1,135 @@
+"""ASR tokenizers: character, word, and subword (unigram/BPE-style).
+
+Covers the reference's tokenizer inventory
+(SPIRAL/nemo/collections/common/tokenizers/): ``CharTokenizer``,
+``WordTokenizer``, and a subword tokenizer. SentencePiece is not available in
+this environment, so ``SubwordTokenizer`` loads either a sentencepiece model
+(when the library exists) or a plain vocab file with greedy longest-match
+encoding; the vocab format is one piece per line ('▁' marks word starts).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+DEFAULT_CHAR_LABELS = [
+    " ", "a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l", "m",
+    "n", "o", "p", "q", "r", "s", "t", "u", "v", "w", "x", "y", "z", "'",
+]
+
+
+class CharTokenizer:
+    def __init__(self, labels: Sequence[str] = tuple(DEFAULT_CHAR_LABELS)):
+        self.labels = list(labels)
+        self._map = {c: i for i, c in enumerate(self.labels)}
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.labels)
+
+    def text_to_ids(self, text: str) -> List[int]:
+        return [self._map[c] for c in text.lower() if c in self._map]
+
+    def ids_to_text(self, ids: Sequence[int]) -> str:
+        return "".join(self.labels[i] for i in ids if 0 <= i < len(self.labels))
+
+
+class WordTokenizer:
+    def __init__(self, vocab: Sequence[str], unk: str = "<unk>"):
+        self.vocab = list(vocab)
+        if unk not in self.vocab:
+            self.vocab.append(unk)
+        self._map = {w: i for i, w in enumerate(self.vocab)}
+        self.unk_id = self._map[unk]
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.vocab)
+
+    def text_to_ids(self, text: str) -> List[int]:
+        return [self._map.get(w, self.unk_id) for w in text.split()]
+
+    def ids_to_text(self, ids: Sequence[int]) -> str:
+        return " ".join(self.vocab[i] for i in ids)
+
+
+class SubwordTokenizer:
+    """Unigram/BPE-style subword tokenizer.
+
+    With sentencepiece installed, wraps a .model file; otherwise loads a
+    vocab list (one piece per line, optionally 'piece\\tscore') and encodes
+    via greedy longest-match over '▁'-prefixed word pieces.
+    """
+
+    WORD_BOUNDARY = "▁"  # ▁
+
+    def __init__(self, model_or_vocab_path: str):
+        self._sp = None
+        if model_or_vocab_path.endswith(".model"):
+            try:
+                import sentencepiece as spm
+
+                self._sp = spm.SentencePieceProcessor()
+                self._sp.Load(model_or_vocab_path)
+                self.pieces = [
+                    self._sp.IdToPiece(i) for i in range(self._sp.GetPieceSize())
+                ]
+            except ImportError as e:
+                raise ImportError(
+                    "sentencepiece not available; provide a vocab file instead"
+                ) from e
+        else:
+            with open(model_or_vocab_path, encoding="utf-8") as f:
+                self.pieces = [
+                    line.rstrip("\n").split("\t")[0] for line in f if line.strip()
+                ]
+        self._map = {p: i for i, p in enumerate(self.pieces)}
+        self._max_len = max(len(p) for p in self.pieces)
+        self.unk_id = self._map.get("<unk>", 0)
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.pieces)
+
+    def text_to_ids(self, text: str) -> List[int]:
+        if self._sp is not None:
+            return list(self._sp.EncodeAsIds(text))
+        ids: List[int] = []
+        for word in text.strip().split():
+            chunk = self.WORD_BOUNDARY + word
+            i = 0
+            while i < len(chunk):
+                match: Optional[int] = None
+                for ln in range(min(self._max_len, len(chunk) - i), 0, -1):
+                    piece = chunk[i : i + ln]
+                    if piece in self._map:
+                        match = self._map[piece]
+                        i += ln
+                        break
+                if match is None:
+                    match = self.unk_id
+                    i += 1
+                ids.append(match)
+        return ids
+
+    def ids_to_text(self, ids: Sequence[int]) -> str:
+        text = "".join(self.pieces[i] for i in ids if 0 <= i < len(self.pieces))
+        return text.replace(self.WORD_BOUNDARY, " ").strip()
+
+
+class BlankOffsetTokenizer:
+    """Wraps a tokenizer so id 0 is reserved for the CTC blank
+    (blank_pos='vocab_first'): token ids are shifted up by one."""
+
+    def __init__(self, base):
+        self.base = base
+
+    @property
+    def vocab_size(self) -> int:
+        return self.base.vocab_size + 1
+
+    def text_to_ids(self, text: str) -> List[int]:
+        return [i + 1 for i in self.base.text_to_ids(text)]
+
+    def ids_to_text(self, ids: Sequence[int]) -> str:
+        return self.base.ids_to_text([i - 1 for i in ids if i >= 1])

@@ -1,0 +1,170 @@
+"""SPIRAL pretraining: jitted teacher-student step with in-graph EMA.
+
+Replaces the reference's PyTorch-Lightning loop
+(SPIRAL/nemo/collections/asr/models/st2vec/st2vec_pretrain.py:68-233 +
+ModelPT/DDP) with a single donated jit program per step: wav->spec both
+branches, teacher shift + no-grad encode, student mask + encode, per-frame
+negatives, InfoNCE, AdamW + warmup-cosine, EMA teacher lerp. Data parallelism
+comes from batch sharding over the mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tpu_speech.models.spiral.masking import apply_mask, gaussian_mask_emb, make_student_masks
+from tpu_speech.models.spiral.st2vec import (
+    ST2VecConfig,
+    ST2VecEncoder,
+    contrastive_loss,
+    ema_update,
+    momentum_schedule,
+    sample_negatives,
+    teacher_param_subset,
+    teacher_shift,
+    wav_to_spec,
+)
+
+
+@flax.struct.dataclass
+class SpiralTrainState:
+    step: jax.Array
+    params: Any          # student params
+    batch_stats: Any     # student BN stats (predictor)
+    teacher: Any         # EMA teacher subtree (feature_encoder + projector)
+    opt_state: Any
+
+
+def init_spiral_state(model: ST2VecEncoder, rng, spec_shape, tx):
+    specs = jnp.zeros(spec_shape)
+    lens = jnp.full((spec_shape[0],), spec_shape[1], dtype=jnp.int32)
+    variables = model.init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+        specs, lens, train=False,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return SpiralTrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        teacher=jax.tree.map(jnp.copy, teacher_param_subset(params)),
+        opt_state=tx.init(params),
+    )
+
+
+def make_pretrain_step(model: ST2VecEncoder, cfg: ST2VecConfig, tx,
+                       grad_clip: Optional[float] = None):
+    mask_emb = jnp.asarray(gaussian_mask_emb(cfg.num_features))
+
+    def loss_fn(params, batch_stats, teacher, batch, rng):
+        rngs = {"dropout": jax.random.fold_in(rng, 0)}
+        r_dither_t, r_dither_s, r_neg = (
+            jax.random.fold_in(rng, 1), jax.random.fold_in(rng, 2),
+            jax.random.fold_in(rng, 3),
+        )
+        # clean branch -> teacher; perturbed branch -> student
+        t_specs, t_lens = wav_to_spec(
+            cfg, batch["wavs"], batch["wav_lens"], training=True, rng=r_dither_t
+        )
+        s_specs, s_lens = wav_to_spec(
+            cfg, batch["p_wavs"], batch["p_wav_lens"], training=True,
+            rng=r_dither_s,
+        )
+
+        # teacher: shift + encode with EMA params (no grad)
+        t_specs_sh, t_lens_sh = teacher_shift(
+            t_specs, t_lens, batch["shift_k"], batch["shift_r"],
+            cfg.shift_unit, cfg.max_shift, mask_emb,
+        )
+        teacher_params = dict(params)
+        teacher_params.update(teacher)
+        targets, _t_feat_lens = model.apply(
+            {"params": teacher_params, "batch_stats": batch_stats},
+            t_specs_sh, t_lens_sh, train=True,
+            method=ST2VecEncoder.encode_teacher, rngs=rngs,
+        )
+        targets = jax.lax.stop_gradient(targets)
+        # trim the k leading shifted frames -> aligned with student frames
+        tf_student = s_specs.shape[1] // cfg.shift_unit
+        targets = jax.lax.dynamic_slice_in_dim(
+            targets, batch["shift_k"], tf_student, axis=1
+        )
+
+        # student: mask + encode
+        s_specs = apply_mask(
+            s_specs, batch["time_mask"], batch["chan_mask"], mask_emb
+        )
+        (pred, feat_lens), new_model_state = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            s_specs, s_lens, train=True,
+            method=ST2VecEncoder.encode_student,
+            rngs=rngs, mutable=["batch_stats"],
+        )
+
+        valid = (
+            jnp.arange(pred.shape[1])[None, :] < feat_lens[:, None]
+        ).astype(pred.dtype)
+        negs = sample_negatives(r_neg, targets, feat_lens, cfg.n_negatives)
+        loss, acc = contrastive_loss(
+            pred, targets, negs, valid, cfg.logit_temp
+        )
+        return loss, (acc, new_model_state.get("batch_stats", batch_stats))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: SpiralTrainState, batch, rng):
+        (loss, (acc, batch_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, state.teacher, batch, rng)
+        if grad_clip is not None:
+            gnorm = jnp.sqrt(
+                sum(jnp.sum(g * g) for g in jax.tree.leaves(grads))
+            )
+            scale = jnp.minimum(1.0, grad_clip / (gnorm + 1e-6))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        m = momentum_schedule(
+            state.step, cfg.target_momentum, cfg.target_momentum_final,
+            cfg.target_momentum_steps,
+        )
+        teacher = ema_update(state.teacher, params, m)
+        metrics = {"loss": loss, "accuracy": acc, "momentum": m}
+        return (
+            SpiralTrainState(
+                state.step + 1, params, batch_stats, teacher, opt_state
+            ),
+            metrics,
+        )
+
+    return step
+
+
+def host_augment_batch(cfg: ST2VecConfig, wavs, wav_lens, p_wavs, p_wav_lens,
+                       spec_len: int, rng: np.random.Generator):
+    """Host-side per-batch randomness: student masks + teacher shift amounts.
+
+    spec_len: static padded spec length (= padded wav len / hop, rounded to 16).
+    """
+    hop = int(0.01 * cfg.sample_rate)
+    spec_lens = np.ceil(np.asarray(p_wav_lens) / hop).astype(np.int32)
+    time_mask, chan_mask = make_student_masks(
+        len(wav_lens), spec_len, cfg.num_features, spec_lens,
+        cfg.mask_prob, cfg.mask_length, cfg.mask_channel_prob,
+        cfg.mask_channel_length, rng=rng,
+    )
+    shift_k = int(rng.integers(0, cfg.max_shift + 1))
+    shift_r = int(rng.integers(0, cfg.max_shift + 1))
+    return {
+        "wavs": wavs, "wav_lens": wav_lens,
+        "p_wavs": p_wavs, "p_wav_lens": p_wav_lens,
+        "time_mask": time_mask, "chan_mask": chan_mask,
+        "shift_k": np.int32(shift_k), "shift_r": np.int32(shift_r),
+    }

@@ -1,0 +1,294 @@
+"""SPIRAL run driver: pretrain / finetune / test loops over manifests.
+
+Replaces the reference's PL Trainer + exp_manager composition
+(SPIRAL/examples/asr/spiral_pretrain.py:95-190): epoch loops over the
+prefetching loader, mesh DP, TB scalars, orbax resume, WER test reports.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tpu_speech.data.loader import DataLoader
+from tpu_speech.data.spiral import (
+    AudioAugmentor,
+    AudioBatchCollate,
+    AudioDataset,
+    AudioTextBatchCollate,
+    AudioToTextDataset,
+    RandomNoisePerturbation,
+)
+from tpu_speech.eval.wer import ctc_greedy_decode, word_error_rate
+from tpu_speech.models.spiral.ctc import (
+    CTCFinetuneModel,
+    CTCTrainState,
+    load_pretrained_encoder,
+    make_finetune_step,
+)
+from tpu_speech.models.spiral.st2vec import ST2VecEncoder, wav_to_spec
+from tpu_speech.parallel.mesh import make_mesh, replicate, shard_batch
+from tpu_speech.train.schedules import polynomial_hold, warmup_cosine
+from tpu_speech.train.spiral import (
+    host_augment_batch,
+    init_spiral_state,
+    make_pretrain_step,
+)
+from tpu_speech.utils.checkpoint import Checkpointer
+
+
+def _make_optimizer(optim_cfg, total_steps):
+    sched_cfg = optim_cfg.sched
+    if sched_cfg is None:
+        sched = optim_cfg.lr
+    elif sched_cfg.name == "PolynomialHoldDecayAnnealing":
+        warm = sched_cfg.warmup_steps or int(
+            (sched_cfg.warmup_ratio or 0.0) * sched_cfg.max_steps
+        )
+        hold = int((sched_cfg.hold_ratio or 0.0) * sched_cfg.max_steps)
+        sched = polynomial_hold(
+            optim_cfg.lr, warm, sched_cfg.max_steps, hold, min_lr=sched_cfg.min_lr
+        )
+    else:
+        sched = warmup_cosine(
+            optim_cfg.lr, sched_cfg.warmup_steps, sched_cfg.max_steps,
+            sched_cfg.min_lr,
+        )
+    return optax.adamw(
+        sched, b1=optim_cfg.betas[0], b2=optim_cfg.betas[1],
+        eps=optim_cfg.eps, weight_decay=optim_cfg.weight_decay,
+    )
+
+
+def _spec_len(crop_size: int, sample_rate: int) -> int:
+    hop = int(0.01 * sample_rate)
+    t = -(-crop_size // hop)
+    return ((t + 15) // 16) * 16
+
+
+class SpiralPretrainRunner:
+    def __init__(self, cfg, log_dir: str):
+        self.cfg = cfg
+        m = cfg.model
+        self.enc_cfg = m.encoder
+        self.log_dir = log_dir
+        os.makedirs(log_dir, exist_ok=True)
+        self.mesh = make_mesh()
+
+        aug = None
+        if m.train_ds.noise_manifest:
+            aug = AudioAugmentor(
+                [(1.0, RandomNoisePerturbation(m.train_ds.noise_manifest))]
+            )
+        self.dataset = AudioDataset(
+            m.train_ds.manifest_filepath, m.train_ds.sample_rate,
+            m.train_ds.crop_size, m.train_ds.min_duration,
+            m.train_ds.max_duration, augmentor=aug, return_both=True,
+        )
+        self.collate = AudioBatchCollate(m.train_ds.crop_size)
+        self.loader = DataLoader(
+            self.dataset, m.train_ds.batch_size, self.collate,
+            shuffle=m.train_ds.shuffle, num_workers=m.train_ds.num_workers,
+        )
+        self.spec_len = _spec_len(m.train_ds.crop_size, m.train_ds.sample_rate)
+
+        self.model = ST2VecEncoder(self.enc_cfg)
+        total_steps = m.optim.sched.max_steps if m.optim.sched else 100000
+        self.tx = _make_optimizer(m.optim, total_steps)
+        state = init_spiral_state(
+            self.model, jax.random.PRNGKey(0),
+            (m.train_ds.batch_size, self.spec_len, self.enc_cfg.num_features),
+            self.tx,
+        )
+        self.state = replicate(self.mesh, state)
+        self.step_fn = make_pretrain_step(self.model, self.enc_cfg, self.tx,
+                                          grad_clip=m.grad_clip)
+        self.ckpt = Checkpointer(os.path.join(log_dir, "ckpt"))
+        try:
+            from tensorboardX import SummaryWriter
+
+            self.tb = SummaryWriter(log_dir)
+        except Exception:
+            self.tb = None
+        self.host_rng = np.random.default_rng(0)
+        self.iteration = 0
+
+    def resume_if_exists(self):
+        restored = self.ckpt.restore_latest(jax.device_get(self.state))
+        if restored is None:
+            return False
+        self.state = replicate(self.mesh, restored)
+        self.iteration = int(restored.step)
+        return True
+
+    def train_epoch(self, epoch: int):
+        losses, accs = [], []
+        t0, n_sec = time.time(), 0.0
+        for raw in self.loader:
+            batch = host_augment_batch(
+                self.enc_cfg, raw["wavs"], raw["wav_lens"], raw["p_wavs"],
+                raw["p_wav_lens"], self.spec_len, self.host_rng,
+            )
+            batch = shard_batch(self.mesh, batch)
+            self.state, metrics = self.step_fn(
+                self.state, batch, jax.random.PRNGKey(self.iteration)
+            )
+            m = jax.device_get(metrics)
+            losses.append(float(m["loss"]))
+            accs.append(float(m["accuracy"]))
+            n_sec += float(np.sum(raw["wav_lens"])) / self.cfg.model.train_ds.sample_rate
+            if self.tb is not None and self.iteration % 50 == 0:
+                self.tb.add_scalar("train/loss", losses[-1], self.iteration)
+                self.tb.add_scalar("train/accuracy", accs[-1], self.iteration)
+            self.iteration += 1
+        dt = time.time() - t0
+        msg = (
+            f"Epoch {epoch}: loss = {np.mean(losses):.4f} | "
+            f"acc = {np.mean(accs):.4f} | {n_sec / max(dt, 1e-9):.1f}x realtime\n"
+        )
+        with open(os.path.join(self.log_dir, "train.log"), "a") as f:
+            f.write(msg)
+        self.ckpt.save(self.iteration, jax.device_get(self.state))
+        return float(np.mean(losses)) if losses else float("nan")
+
+
+class SpiralFinetuneRunner:
+    def __init__(self, cfg, log_dir: str, tokenizer):
+        self.cfg = cfg
+        m = cfg.model
+        self.enc_cfg = m.encoder
+        self.tokenizer = tokenizer
+        self.log_dir = log_dir
+        os.makedirs(log_dir, exist_ok=True)
+        self.mesh = make_mesh()
+
+        from tpu_speech.text.tokenizers import BlankOffsetTokenizer
+
+        # reserve id 0 for the CTC blank (blank_pos='vocab_first')
+        self.tokenizer = tokenizer = BlankOffsetTokenizer(tokenizer)
+
+        sr = m.train_ds.sample_rate
+        max_samples = int((m.train_ds.max_duration or 24.0) * sr)
+        self.max_samples = max_samples
+        self.dataset = AudioToTextDataset(
+            m.train_ds.manifest_filepath, tokenizer, sample_rate=sr,
+            crop_size=max_samples, min_duration=m.train_ds.min_duration,
+            max_duration=m.train_ds.max_duration,
+        )
+        self.collate = AudioTextBatchCollate(max_samples, 512)
+        self.loader = DataLoader(
+            self.dataset, m.train_ds.batch_size, self.collate,
+            shuffle=m.train_ds.shuffle, num_workers=m.train_ds.num_workers,
+        )
+
+        self.model = CTCFinetuneModel(
+            self.enc_cfg, tokenizer.vocab_size, "vocab_first"
+        )
+        spec_len = _spec_len(max_samples, sr)
+        specs = jnp.zeros((1, spec_len, self.enc_cfg.num_features))
+        lens = jnp.full((1,), spec_len)
+        variables = jax.jit(
+            self.model.init, static_argnames=("train", "freeze_encoder")
+        )({"params": jax.random.PRNGKey(0)}, specs, lens, train=False)
+        params = variables["params"]
+        if m.pretrain_chkpt_path:
+            pre = self._load_pretrain(m.pretrain_chkpt_path)
+            params = load_pretrained_encoder(
+                params, pre["params"], m.use_teacher_encoder, pre.get("teacher")
+            )
+        total_steps = m.optim.sched.max_steps if m.optim.sched else 80000
+        self.tx = _make_optimizer(m.optim, total_steps)
+        state = CTCTrainState(
+            jnp.zeros((), jnp.int32), params,
+            variables.get("batch_stats", {}), self.tx.init(params),
+        )
+        self.state = replicate(self.mesh, state)
+        self.step_fn = make_finetune_step(
+            self.model, self.enc_cfg, self.tx, m.freeze_finetune_updates
+        )
+        self.ckpt = Checkpointer(os.path.join(log_dir, "ckpt"))
+        self.iteration = 0
+
+    @staticmethod
+    def _load_pretrain(path):
+        import orbax.checkpoint as ocp
+
+        restored = ocp.StandardCheckpointer().restore(path)
+        return {
+            "params": restored["params"],
+            "teacher": restored.get("teacher"),
+        }
+
+    def resume_if_exists(self):
+        restored = self.ckpt.restore_latest(jax.device_get(self.state))
+        if restored is None:
+            return False
+        self.state = replicate(self.mesh, restored)
+        self.iteration = int(restored.step)
+        return True
+
+    def train_epoch(self, epoch: int):
+        losses = []
+        for raw in self.loader:
+            batch = {k: v for k, v in raw.items() if k != "texts"}
+            self.state, metrics = self.step_fn(
+                self.state, shard_batch(self.mesh, batch),
+                jax.random.PRNGKey(self.iteration),
+            )
+            losses.append(float(jax.device_get(metrics)["loss"]))
+            self.iteration += 1
+        with open(os.path.join(self.log_dir, "train.log"), "a") as f:
+            f.write(f"Epoch {epoch}: ctc loss = {np.mean(losses):.4f}\n")
+        self.ckpt.save(self.iteration, jax.device_get(self.state))
+        return float(np.mean(losses)) if losses else float("nan")
+
+    def evaluate(self, manifest: Optional[str] = None, save_logits_dir=None):
+        """Test-mode WER (spiral_pretrain.py:140-190)."""
+        m = self.cfg.model
+        ds_cfg = m.test_ds or m.validation_ds
+        manifest = manifest or ds_cfg.manifest_filepath
+        dataset = AudioToTextDataset(
+            manifest, self.tokenizer, sample_rate=ds_cfg.sample_rate,
+            crop_size=self.max_samples,
+        )
+        collate = AudioTextBatchCollate(self.max_samples, 512)
+        loader = DataLoader(
+            dataset, ds_cfg.batch_size, collate, shuffle=False,
+            drop_last=False, num_workers=ds_cfg.num_workers,
+        )
+
+        @jax.jit
+        def infer(params, batch_stats, wavs, wav_lens):
+            specs, spec_lens = wav_to_spec(self.enc_cfg, wavs, wav_lens)
+            return self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                specs, spec_lens, train=False,
+            )
+
+        hyps, refs = [], []
+        for raw in loader:
+            log_probs, lens = infer(
+                self.state.params, self.state.batch_stats,
+                jnp.asarray(raw["wavs"]), jnp.asarray(raw["wav_lens"]),
+            )
+            ids = ctc_greedy_decode(
+                np.asarray(log_probs), np.asarray(lens), self.model.blank_idx
+            )
+            for seq, text in zip(ids, raw["texts"]):
+                hyps.append(self.tokenizer.ids_to_text(seq))
+                refs.append(text)
+            if save_logits_dir:
+                os.makedirs(save_logits_dir, exist_ok=True)
+                np.save(
+                    os.path.join(save_logits_dir, f"logits_{len(hyps)}.npy"),
+                    np.asarray(log_probs),
+                )
+        wer = word_error_rate(hyps, refs)
+        cer = word_error_rate(hyps, refs, use_cer=True)
+        return {"wer": wer, "cer": cer, "n": len(hyps)}

@@ -1,0 +1,96 @@
+"""Config dataclasses (the reference's structured-config surface).
+
+Mirrors the NeMo config inventory
+(SPIRAL/nemo/core/config/*, collections/asr/models/configs/common_config.py):
+dataclass-as-experiment-file, composed in python config modules and frozen at
+launch. Maps naturally onto frozen pytrees / static jit arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass
+class AdamWParams:
+    lr: float = 1e-3
+    eps: float = 1e-6
+    betas: Tuple[float, float] = (0.9, 0.98)
+    weight_decay: float = 0.01
+    sched: Optional["SchedParams"] = None
+
+
+@dataclasses.dataclass
+class AdamParams:
+    lr: float = 1e-3
+    eps: float = 1e-8
+    betas: Tuple[float, float] = (0.9, 0.999)
+    weight_decay: float = 0.0
+    sched: Optional["SchedParams"] = None
+
+
+@dataclasses.dataclass
+class SchedParams:
+    name: str = "CosineAnnealing"
+    warmup_steps: int = 0
+    warmup_ratio: Optional[float] = None
+    hold_ratio: Optional[float] = None
+    max_steps: int = 100000
+    min_lr: float = 0.0
+
+
+@dataclasses.dataclass
+class AudioDatasetConfig:
+    manifest_filepath: str = ""
+    sample_rate: int = 16000
+    batch_size: int = 24
+    min_duration: float = 0.0
+    max_duration: Optional[float] = None
+    crop_size: Optional[int] = None
+    shuffle: bool = True
+    num_workers: int = 4
+    noise_manifest: Optional[str] = None
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    devices: int = -1  # -1: all visible
+    max_epochs: int = 100
+    max_steps: Optional[int] = None
+    accumulate_grad_batches: int = 1
+    log_every_n_steps: int = 50
+    val_check_interval_epochs: int = 4
+
+
+@dataclasses.dataclass
+class ExpManagerConfig:
+    name: str = "exp"
+    explicit_log_dir: Optional[str] = None
+    resume_if_exists: bool = True
+    save_top_k: int = 5
+
+
+@dataclasses.dataclass
+class SpiralModelConfig:
+    encoder: Any = None                 # ST2VecConfig
+    optim: AdamWParams = dataclasses.field(default_factory=AdamWParams)
+    train_ds: AudioDatasetConfig = dataclasses.field(default_factory=AudioDatasetConfig)
+    validation_ds: Optional[AudioDatasetConfig] = None
+    test_ds: Optional[AudioDatasetConfig] = None
+    expected_gpu_num: int = 1
+    logit_temp: float = 0.3
+    labels: Optional[Sequence[str]] = None
+    tokenizer_file: Optional[str] = None
+    freeze_finetune_updates: int = 0
+    pretrain_chkpt_path: Optional[str] = None
+    use_teacher_encoder: bool = False
+    grad_clip: Optional[float] = None
+
+
+@dataclasses.dataclass
+class RunConfig:
+    name: str = "st2vec"
+    model: SpiralModelConfig = dataclasses.field(default_factory=SpiralModelConfig)
+    trainer: TrainerConfig = dataclasses.field(default_factory=TrainerConfig)
+    exp_manager: ExpManagerConfig = dataclasses.field(default_factory=ExpManagerConfig)
