@@ -241,3 +241,55 @@ def build_average_mels(
                 out,
             )
     return modes
+
+
+# Held-out speaker/sentence splits (DiffVC/data.py:19-33)
+LIBRITTS_TEST_SPEAKERS = (
+    "1401", "2238", "3723", "4014", "5126",
+    "5322", "587", "6415", "8057", "8534",
+)
+VCTK_UNSEEN_SPEAKERS = (
+    "p252", "p261", "p241", "p238", "p243",
+    "p294", "p334", "p343", "p360", "p362",
+)
+VCTK_UNSEEN_SENTENCES = ("001", "002", "003", "004", "005")
+
+
+def _vctk_sentence_filter(ids, unseen_sentences=VCTK_UNSEEN_SENTENCES):
+    """Drop utterances whose sentence id (second '_' field) is held out
+    (DiffVC/data.py:125, :269)."""
+    return [
+        m for m in ids
+        if len(m.split("_")) < 2 or m.split("_")[1] not in unseen_sentences
+    ]
+
+
+class VCTKEncDataset(VCEncDataset):
+    """VCTK variant of the encoder dataset (DiffVC/data.py:109-163)."""
+
+    def __init__(self, data_dir, exc_file=None, avg_type="mode",
+                 shuffle_seed=37):
+        super().__init__(
+            data_dir, exc_file, avg_type,
+            test_speakers=VCTK_UNSEEN_SPEAKERS, shuffle_seed=shuffle_seed,
+        )
+        self.train_info = [
+            (m, s) for m, s in self.train_info
+            if m.split("_")[1] not in VCTK_UNSEEN_SENTENCES
+            or len(m.split("_")) < 2
+        ]
+
+
+class VCTKDecDataset(VCDecDataset):
+    """VCTK variant of the decoder dataset (DiffVC/data.py:256-313)."""
+
+    def __init__(self, data_dir, shuffle_seed=37):
+        super().__init__(
+            data_dir, test_speakers=VCTK_UNSEEN_SPEAKERS,
+            min_utts_per_speaker=1, shuffle_seed=shuffle_seed,
+        )
+        self.train_info = [
+            (m, s) for m, s in self.train_info
+            if len(m.split("_")) < 2
+            or m.split("_")[1] not in VCTK_UNSEEN_SENTENCES
+        ]
