@@ -186,3 +186,29 @@ def test_pretrain_step_end_to_end(rng):
     ]
     assert max(diffs) > 0
     assert int(jax.device_get(state.step)) == 2
+
+
+def test_pretrain_step_bf16(rng):
+    import optax
+
+    model = ST2VecEncoder(TINY_CFG)
+    tx = optax.adamw(1e-3)
+    b, spec_len = 2, 112
+    state = init_spiral_state(
+        model, jax.random.PRNGKey(0), (b, spec_len, TINY_CFG.num_features), tx
+    )
+    step = make_pretrain_step(model, TINY_CFG, tx, bf16=True)
+    wavs = rng.standard_normal((b, 16000)).astype(np.float32) * 0.1
+    lens = np.array([16000, 12000], dtype=np.int32)
+    batch = host_augment_batch(
+        TINY_CFG, wavs, lens, wavs + 0.01, lens, spec_len,
+        np.random.default_rng(0),
+    )
+    state, m = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+    # params stay fp32 (mixed precision: compute-only bf16)
+    assert all(
+        p.dtype == np.float32
+        for p in jax.tree.leaves(jax.device_get(state.params))
+        if np.issubdtype(p.dtype, np.floating)
+    )

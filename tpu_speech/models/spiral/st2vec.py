@@ -181,6 +181,10 @@ def contrastive_loss(
     cand = jnp.concatenate([targets[None], negatives], axis=0)  # (1+N, B, T, D)
 
     def cos(a, b):
+        # float32 similarity regardless of compute dtype (the reference casts:
+        # torch.cosine_similarity(logits.float(), targets.float()))
+        a = a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
         num = jnp.sum(a * b, axis=-1)
         den = jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1)
         return num / jnp.maximum(den, 1e-8)

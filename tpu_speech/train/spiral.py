@@ -61,16 +61,33 @@ def init_spiral_state(model: ST2VecEncoder, rng, spec_shape, tx):
 
 
 def make_pretrain_step(model: ST2VecEncoder, cfg: ST2VecConfig, tx,
-                       grad_clip: Optional[float] = None):
+                       grad_clip: Optional[float] = None,
+                       bf16: bool = False):
+    """bf16=True runs the network forward/backward in bfloat16 (params cast
+    per step; optimizer state and updates stay float32 — standard TPU mixed
+    precision)."""
     mask_emb = jnp.asarray(gaussian_mask_emb(cfg.num_features))
 
+    def _cast(tree, dtype):
+        return jax.tree.map(
+            lambda p: p.astype(dtype)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p,
+            tree,
+        )
+
     def loss_fn(params, batch_stats, teacher, batch, rng):
+        emb = mask_emb
+        if bf16:
+            params = _cast(params, jnp.bfloat16)
+            teacher = _cast(teacher, jnp.bfloat16)
+            emb = mask_emb.astype(jnp.bfloat16)
         rngs = {"dropout": jax.random.fold_in(rng, 0)}
         r_dither_t, r_dither_s, r_neg = (
             jax.random.fold_in(rng, 1), jax.random.fold_in(rng, 2),
             jax.random.fold_in(rng, 3),
         )
         # clean branch -> teacher; perturbed branch -> student
+        # (featurizer stays float32; specs cast at the network boundary)
         t_specs, t_lens = wav_to_spec(
             cfg, batch["wavs"], batch["wav_lens"], training=True, rng=r_dither_t
         )
@@ -78,11 +95,14 @@ def make_pretrain_step(model: ST2VecEncoder, cfg: ST2VecConfig, tx,
             cfg, batch["p_wavs"], batch["p_wav_lens"], training=True,
             rng=r_dither_s,
         )
+        if bf16:
+            t_specs = t_specs.astype(jnp.bfloat16)
+            s_specs = s_specs.astype(jnp.bfloat16)
 
         # teacher: shift + encode with EMA params (no grad)
         t_specs_sh, t_lens_sh = teacher_shift(
             t_specs, t_lens, batch["shift_k"], batch["shift_r"],
-            cfg.shift_unit, cfg.max_shift, mask_emb,
+            cfg.shift_unit, cfg.max_shift, emb,
         )
         teacher_params = dict(params)
         teacher_params.update(teacher)
@@ -100,7 +120,7 @@ def make_pretrain_step(model: ST2VecEncoder, cfg: ST2VecConfig, tx,
 
         # student: mask + encode
         s_specs = apply_mask(
-            s_specs, batch["time_mask"], batch["chan_mask"], mask_emb
+            s_specs, batch["time_mask"], batch["chan_mask"], emb
         )
         (pred, feat_lens), new_model_state = model.apply(
             {"params": params, "batch_stats": batch_stats},

@@ -107,8 +107,10 @@ class SpiralPretrainRunner:
             self.tx,
         )
         self.state = replicate(self.mesh, state)
-        self.step_fn = make_pretrain_step(self.model, self.enc_cfg, self.tx,
-                                          grad_clip=m.grad_clip)
+        self.step_fn = make_pretrain_step(
+            self.model, self.enc_cfg, self.tx, grad_clip=m.grad_clip,
+            bf16=(getattr(m, 'precision', 'fp32') == 'bf16'),
+        )
         self.ckpt = Checkpointer(os.path.join(log_dir, "ckpt"))
         try:
             from tensorboardX import SummaryWriter

@@ -86,6 +86,7 @@ class SpiralModelConfig:
     pretrain_chkpt_path: Optional[str] = None
     use_teacher_encoder: bool = False
     grad_clip: Optional[float] = None
+    precision: str = "fp32"  # 'fp32' | 'bf16' (mixed: params/opt fp32, compute bf16)
 
 
 @dataclasses.dataclass
