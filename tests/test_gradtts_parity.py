@@ -189,3 +189,70 @@ def test_init_shapes_match_converted(torch_model, jax_model):
     init_shapes = jax.tree.map(lambda a: a.shape, init)
     conv_shapes = jax.tree.map(lambda a: tuple(a.shape), conv)
     assert init_shapes == conv_shapes
+
+
+MS_CFG = dict(CFG, n_spks=4, n_feats=80)  # reference estimator hardcodes n_feats=80 for spk_mlp (diffusion.py:140-141 default)
+
+
+@pytest.fixture(scope="module")
+def torch_model_ms(ref):
+    torch.manual_seed(1)
+    m = ref.GradTTS(
+        MS_CFG["n_vocab"], MS_CFG["n_spks"], MS_CFG["spk_emb_dim"],
+        MS_CFG["n_enc_channels"], MS_CFG["filter_channels"],
+        MS_CFG["filter_channels_dp"], MS_CFG["n_heads"],
+        MS_CFG["n_enc_layers"], MS_CFG["enc_kernel"], MS_CFG["enc_dropout"],
+        MS_CFG["window_size"], MS_CFG["n_feats"], MS_CFG["dec_dim"],
+        MS_CFG["beta_min"], MS_CFG["beta_max"], MS_CFG["pe_scale"],
+    )
+    m.eval()
+    return m
+
+
+def test_multispeaker_parity(torch_model_ms, rng):
+    """Speaker-conditioned path: spk embedding -> encoder concat + estimator
+    extra channel (tts.py:70-72, diffusion.py:139-146, 174-185)."""
+    from tpu_speech.compat.torch_gradtts import (
+        convert_gradtts, convert_text_encoder,
+    )
+
+    x, x_lengths = _inputs(rng)
+    spk = np.array([1, 3], dtype=np.int64)
+    with torch.no_grad():
+        spk_e = torch_model_ms.spk_emb(torch.from_numpy(spk))
+        mu_t, logw_t, _ = torch_model_ms.encoder(
+            torch.from_numpy(x).long(), torch.from_numpy(x_lengths), spk_e
+        )
+
+    params = convert_gradtts(
+        torch_model_ms.state_dict(), n_spks=MS_CFG["n_spks"],
+        n_enc_layers=MS_CFG["n_enc_layers"],
+    )
+    model = GradTTS(**MS_CFG)
+    mu_j, logw_j, _ = model.apply(
+        params, jnp.asarray(x), jnp.asarray(x_lengths),
+        jnp.asarray(spk.astype(np.int32)), method=GradTTS.encode,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mu_j), mu_t.numpy().transpose(0, 2, 1), atol=3e-5
+    )
+
+    # estimator with spk channel
+    b, t_y, f = 2, 8, MS_CFG["n_feats"]  # 80
+    xt = rng.standard_normal((b, f, t_y)).astype(np.float32)
+    mu = rng.standard_normal((b, f, t_y)).astype(np.float32)
+    mask = np.ones((b, 1, t_y), dtype=np.float32)
+    t = np.array([0.2, 0.7], dtype=np.float32)
+    with torch.no_grad():
+        out_t = torch_model_ms.decoder.estimator(
+            torch.from_numpy(xt), torch.from_numpy(mask),
+            torch.from_numpy(mu), torch.from_numpy(t), spk_e,
+        )
+    out_j = model.apply(
+        params, jnp.asarray(xt.transpose(0, 2, 1)), jnp.asarray(mask[:, 0]),
+        jnp.asarray(mu.transpose(0, 2, 1)), jnp.asarray(t),
+        jnp.asarray(spk.astype(np.int32)), method=GradTTS.score,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_j), out_t.numpy().transpose(0, 2, 1), atol=3e-5
+    )

@@ -49,6 +49,10 @@ class GradTTS(nn.Module):
     def setup(self):
         if self.n_spks > 1:
             self.spk_emb = nn.Embed(self.n_spks, self.spk_emb_dim)
+        # NOTE: the reference constructs TextEncoder WITHOUT n_spks/spk_emb_dim
+        # (tts.py:45-47), so speaker conditioning only reaches the decoder —
+        # the encoder's spk-concat branch is dead code there. Mirrored here so
+        # multi-speaker checkpoints convert losslessly.
         self.encoder = TextEncoder(
             self.n_vocab,
             self.n_feats,
@@ -60,8 +64,6 @@ class GradTTS(nn.Module):
             self.enc_kernel,
             self.enc_dropout,
             self.window_size,
-            self.spk_emb_dim,
-            self.n_spks,
         )
         self.estimator = GradLogPEstimator2d(
             dim=self.dec_dim,
