@@ -27,8 +27,16 @@ def main(argv=None):
     parser.add_argument("--config_path", type=str, default="conf/spiral")
     parser.add_argument("--config_name", type=str, required=True)
     parser.add_argument("--num_devices", type=int, default=0,
-                        help="devices to use (0 = all)")
-    parser.add_argument("--num_nodes", type=int, default=1)
+                        help="devices to use (0 = all; single-host only)")
+    parser.add_argument("--num_nodes", type=int, default=1,
+                        help="hosts in the run; >1 federates them via "
+                        "jax.distributed (set MASTER_ADDR/MASTER_PORT/"
+                        "WORLD_SIZE/NODE_RANK like the reference DDP launch, "
+                        "or run on a TPU pod slice for auto-detection)")
+    parser.add_argument("--node_rank", type=int, default=-1,
+                        help="this host's rank (overrides NODE_RANK env)")
+    parser.add_argument("--master_addr", type=str, default="",
+                        help="coordinator host:port (overrides MASTER_ADDR)")
     parser.add_argument("--resume_if_exists", type=str2bool, default=True)
     parser.add_argument("--run_mode", type=str, default="train",
                         choices=["train", "test"])
@@ -44,6 +52,19 @@ def main(argv=None):
     parser.add_argument("--max_epochs", type=int, default=0)
     args = parser.parse_args(args=argv)
     print(f"training args: {args}")
+
+    # Multi-host bootstrap BEFORE any mesh/device use: federate processes into
+    # one global device view (the reference's MASTER_ADDR/NODE_RANK DDP
+    # plumbing, SPIRAL/README.md:36-42, mapped onto jax.distributed).
+    if args.num_nodes > 1 or os.environ.get("MASTER_ADDR") or args.master_addr:
+        from tpu_speech.parallel import distributed
+
+        distributed.initialize(
+            coordinator_address=args.master_addr or None,
+            num_processes=args.num_nodes if args.num_nodes > 1 else None,
+            process_id=args.node_rank if args.node_rank >= 0 else None,
+        )
+        distributed.require_multiprocess(args.num_nodes)
 
     cfg_module = import_module(
         os.path.join(args.config_path, args.config_name).replace("/", ".")
@@ -62,6 +83,8 @@ def main(argv=None):
         cfg.model.test_ds.manifest_filepath = args.test_manifest
     if args.max_epochs:
         cfg.trainer.max_epochs = args.max_epochs
+    if args.num_devices:
+        cfg.trainer.devices = args.num_devices
 
     log_dir = args.model_save_dir
     print(f"train config: {cfg}")

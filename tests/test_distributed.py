@@ -1,0 +1,222 @@
+"""Multi-host distribution + gradient accumulation.
+
+Covers the reference's DDP surface (SPIRAL/README.md:36-42 multi-node env
+launch; trainer.accumulate_grad_batches spiral_base_pretrain_ls960.py:218;
+expected_gpu_num lr rescale run_spiral.py:83-86) in their TPU-native forms:
+jax.distributed two-process equality, in-jit micro-batch accumulation
+equality, linear lr scaling.
+"""
+
+import dataclasses
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tests.test_spiral_pretrain import TINY_CFG
+from tpu_speech.models.spiral.ctc import (
+    CTCFinetuneModel,
+    CTCTrainState,
+    make_finetune_step,
+)
+from tpu_speech.models.spiral.st2vec import ST2VecEncoder
+from tpu_speech.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_microbatches,
+)
+from tpu_speech.train.spiral import (
+    host_augment_batch,
+    init_spiral_state,
+    make_pretrain_step,
+)
+from tpu_speech.train.spiral_runner import _lr_scale
+
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+
+
+def _zero_dropout_blocks():
+    from tpu_speech.models.spiral.encoder import (
+        ConvLayerCfg,
+        ConvTransformerBlockCfg,
+        TransformerCfg,
+    )
+
+    t = TransformerCfg(
+        1, 32, 64, 4, 0.0, attention_dropout=0.0, activation_dropout=0.0,
+        conv_pos=8, conv_pos_groups=4,
+    )
+    return (
+        ConvTransformerBlockCfg(
+            conv_layers=(
+                ConvLayerCfg(24, (5,), (2,), "ln", "relu", 0.0),
+                ConvLayerCfg(32, (5,), (2,), "ln", "relu", 0.0),
+            ),
+            transformer=t,
+        ),
+        ConvTransformerBlockCfg(
+            conv_layers=(ConvLayerCfg(32, (5,), (2,), "ln", "relu", 0.0),),
+            transformer=t,
+        ),
+    )
+
+
+def _ctc_setup(b):
+    from tpu_speech.models.spiral.encoder import ConvLayerCfg
+
+    # fully deterministic network: accumulation equality must not depend on
+    # the per-micro-batch dropout/dither rng fold
+    cfg = dataclasses.replace(
+        TINY_CFG, dither=0.0, blocks=_zero_dropout_blocks()
+    )
+    dec = (
+        ConvLayerCfg(32, (5,), (1,), None, "relu", 0.0),
+        ConvLayerCfg(32, (5,), (1,), None, "relu", 0.0),
+    )
+    model = CTCFinetuneModel(cfg, 6, "vocab_first", decoder_convs=dec)
+    rng = np.random.default_rng(3)
+    batch = {
+        "wavs": (rng.standard_normal((b, 8000)) * 0.1).astype(np.float32),
+        "wav_lens": np.full((b,), 8000, dtype=np.int32),
+        "labels": rng.integers(1, 6, size=(b, 4)).astype(np.int32),
+        "label_lens": np.full((b,), 4, dtype=np.int32),
+    }
+    spec_len = 64  # ceil(8000/160)=50 -> pad16 -> 64
+    specs = jnp.zeros((1, spec_len, cfg.num_features))
+    lens = jnp.full((1,), spec_len)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, specs, lens, train=False
+    )
+    # SGD: update ∝ grad, so zero-gradient params (e.g. k_proj bias, which
+    # cancels in softmax) stay at fp-noise scale instead of being blown up to
+    # ±lr by Adam's normalization
+    tx = optax.sgd(0.1)
+    return cfg, model, tx, variables, batch
+
+
+def test_grad_accumulation_matches_big_batch():
+    """N micro-batches at accumulation N == one N*batch step (fp32, exact up
+    to reduction order) — the contract accumulate_grad_batches promises."""
+    cfg, model, tx, variables, batch = _ctc_setup(b=4)
+    mesh = make_mesh(n_devices=2)
+
+    def fresh_state():
+        return replicate(mesh, CTCTrainState(
+            jnp.zeros((), jnp.int32),
+            jax.tree.map(jnp.copy, variables["params"]),
+            variables.get("batch_stats", {}),
+            tx.init(variables["params"]),
+        ))
+
+    key = jax.random.PRNGKey(5)
+    step1 = make_finetune_step(model, cfg, tx, 0, accum_steps=1)
+    s1, m1 = step1(fresh_state(), shard_batch(mesh, batch), key)
+
+    micro = jax.tree.map(
+        lambda a: np.reshape(a, (2, 2) + a.shape[1:]), batch
+    )
+    step2 = make_finetune_step(model, cfg, tx, 0, accum_steps=2)
+    s2, m2 = step2(fresh_state(), shard_microbatches(mesh, micro), key)
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-6
+    )
+    p1 = jax.device_get(s1.params)
+    p2 = jax.device_get(s2.params)
+    for a, b_ in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(a, b_, rtol=2e-5, atol=2e-7)
+
+
+def test_pretrain_accum_smoke():
+    """Pretrain step with accum_steps=2: one EMA/optimizer update, finite loss."""
+    cfg = dataclasses.replace(TINY_CFG, dither=0.0)
+    model = ST2VecEncoder(cfg)
+    tx = optax.adamw(1e-3)
+    mesh = make_mesh(n_devices=2)
+    spec_len = 64
+    b, k = 2, 2
+    rng = np.random.default_rng(9)
+    wavs = (rng.standard_normal((k * b, 8000)) * 0.1).astype(np.float32)
+    lens = np.full((k * b,), 8000, dtype=np.int32)
+    micros = []
+    for i in range(k):
+        sl = slice(i * b, (i + 1) * b)
+        micros.append(host_augment_batch(
+            cfg, wavs[sl], lens[sl], wavs[sl].copy(), lens[sl].copy(),
+            spec_len, np.random.default_rng(20 + i),
+        ))
+    batch = jax.tree.map(lambda *xs: np.stack(xs), *micros)
+    state = replicate(mesh, init_spiral_state(
+        model, jax.random.PRNGKey(0), (b, spec_len, cfg.num_features), tx
+    ))
+    step = make_pretrain_step(model, cfg, tx, accum_steps=k)
+    state, metrics = step(
+        state, shard_microbatches(mesh, batch), jax.random.PRNGKey(1)
+    )
+    m = jax.device_get(metrics)
+    assert np.isfinite(m["loss"])
+    assert int(jax.device_get(state.step)) == 1
+
+
+def test_lr_scale_rule():
+    class M:
+        expected_gpu_num = 16
+    assert _lr_scale(M(), 8, 2) == pytest.approx(1.0)
+    assert _lr_scale(M(), 16, 1) == pytest.approx(1.0)
+    assert _lr_scale(M(), 8, 1) == pytest.approx(0.5)
+    M.expected_gpu_num = 0
+    assert _lr_scale(M(), 8, 4) == 1.0
+
+
+@pytest.mark.slow
+def test_two_process_matches_single_process():
+    """Two federated jax.distributed processes (4 virtual devices each) train
+    one SPIRAL step with the same loss as a single 8-device process."""
+    def env(n):
+        e = dict(os.environ)
+        e["JAX_PLATFORMS"] = "cpu"
+        e["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n}"
+        return e
+
+    worker = os.path.join(REPO, "tests", "mh_worker.py")
+
+    single = subprocess.run(
+        [sys.executable, worker, "single"], env=env(8),
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert single.returncode == 0, single.stderr[-2000:]
+
+    port = "12361"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, "multi", str(pid), "2", port],
+            env=env(4), stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, cwd=REPO,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err[-2000:]
+        outs.append(out)
+
+    def loss_of(out):
+        for line in out.splitlines():
+            if line.startswith("MHLOSS"):
+                return float(line.split()[1])
+        raise AssertionError(f"no MHLOSS in output: {out[-500:]}")
+
+    l_single = loss_of(single.stdout)
+    l_multi = [loss_of(o) for o in outs]
+    assert l_multi[0] == pytest.approx(l_multi[1], rel=1e-6)
+    assert l_single == pytest.approx(l_multi[0], rel=1e-5), (
+        l_single, l_multi
+    )

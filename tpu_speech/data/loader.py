@@ -26,7 +26,12 @@ class DataLoader:
         num_workers: int = 4,
         prefetch: int = 4,
         seed: int = 0,
+        shard_id: int = 0,
+        num_shards: int = 1,
     ):
+        """shard_id/num_shards: multi-host data sharding — every process
+        shuffles with the same seed (consistent global order) then takes a
+        strided subset, the jax.distributed analog of DistributedSampler."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -35,10 +40,12 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.seed = seed
+        self.shard_id = shard_id
+        self.num_shards = max(1, num_shards)
         self._epoch = 0
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self.dataset) // self.num_shards
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _batch_indices(self) -> Sequence[Sequence[int]]:
@@ -47,6 +54,9 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
+        if self.num_shards > 1:
+            order = order[self.shard_id :: self.num_shards]
+            n = len(order)
         batches = []
         for i in range(0, n - self.batch_size + 1, self.batch_size):
             batches.append(order[i : i + self.batch_size])

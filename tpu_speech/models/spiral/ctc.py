@@ -126,7 +126,11 @@ class CTCTrainState:
 
 
 def make_finetune_step(model: CTCFinetuneModel, cfg: ST2VecConfig, tx,
-                       freeze_finetune_updates: int = 0):
+                       freeze_finetune_updates: int = 0,
+                       accum_steps: int = 1):
+    """accum_steps>1: trainer.accumulate_grad_batches — batch leaves arrive
+    stacked [accum_steps, batch, ...] (parallel.mesh.shard_microbatches) and
+    are scanned in-graph, one optimizer update per call."""
     mask_emb = jnp.asarray(gaussian_mask_emb(cfg.num_features))
 
     def loss_fn(params, batch_stats, batch, rng, freeze: bool):
@@ -151,11 +155,34 @@ def make_finetune_step(model: CTCFinetuneModel, cfg: ST2VecConfig, tx,
         )
         return loss, new_state.get("batch_stats", batch_stats)
 
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
     @partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
     def step(state: CTCTrainState, batch, rng, freeze: bool):
-        (loss, batch_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch, rng, freeze
-        )
+        if accum_steps > 1:
+            def micro(carry, xs):
+                grads_acc, loss_acc, batch_stats = carry
+                mb, r = xs
+                (loss, batch_stats), grads = grad_fn(
+                    state.params, batch_stats, mb, r, freeze
+                )
+                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                return (grads_acc, loss_acc + loss, batch_stats), None
+
+            rs = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
+                jnp.arange(accum_steps)
+            )
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, loss, batch_stats), _ = jax.lax.scan(
+                micro, (zeros, 0.0, state.batch_stats), (batch, rs)
+            )
+            inv = 1.0 / accum_steps
+            grads = jax.tree.map(lambda g: g * inv, grads)
+            loss = loss * inv
+        else:
+            (loss, batch_stats), grads = grad_fn(
+                state.params, state.batch_stats, batch, rng, freeze
+            )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return (

@@ -35,6 +35,8 @@ class TransformerCfg:
     ffn_embedding_dim: int
     num_attention_heads: int
     dropout: float = 0.1
+    attention_dropout: float = 0.1   # wav2vec_config.py:72
+    activation_dropout: float = 0.0  # wav2vec_config.py:73
     encoder_layerdrop: float = 0.0
     conv_pos: int = 128
     conv_pos_groups: int = 16
@@ -112,6 +114,8 @@ class FeatureEncoder(nn.Module):
                 x = TransformerEncoder(
                     t.embedding_dim, t.encoder_layers, t.ffn_embedding_dim,
                     t.num_attention_heads, t.dropout,
+                    attention_dropout=t.attention_dropout,
+                    activation_dropout=t.activation_dropout,
                     encoder_layerdrop=t.encoder_layerdrop,
                     conv_pos=t.conv_pos, conv_pos_groups=t.conv_pos_groups,
                     layer_norm_first=t.layer_norm_first,
@@ -143,6 +147,8 @@ class Projector(nn.Module):
             x = TransformerEncoder(
                 t.embedding_dim, t.encoder_layers, t.ffn_embedding_dim,
                 t.num_attention_heads, t.dropout,
+                attention_dropout=t.attention_dropout,
+                activation_dropout=t.activation_dropout,
                 encoder_layerdrop=t.encoder_layerdrop,
                 name="transformer",
             )(x, pad_mask, train=train)

@@ -59,6 +59,7 @@ class ST2VecConfig:
     mask_length: int = 20
     mask_channel_prob: float = 0.4
     mask_channel_length: int = 20
+    dither: float = 1e-5  # train-only waveform dither (features.py CONSTANT)
 
 
 def spiral_base_config(**overrides) -> ST2VecConfig:
@@ -127,6 +128,7 @@ def momentum_schedule(step, base, final, max_steps, kind: str = "cosine"):
 def wav_to_spec(cfg: ST2VecConfig, wavs, wav_lens, training=False, rng=None):
     return filterbank_features(
         wavs, wav_lens, sample_rate=cfg.sample_rate, nfilt=cfg.num_features,
+        dither=getattr(cfg, "dither", 1e-5),
         training=training, rng=rng,
     )
 

@@ -27,6 +27,9 @@ def make_mesh(
     """1-D data mesh by default; (data, model) 2-D when model_parallel > 1."""
     devs = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
+        assert len(devs) >= n_devices, (
+            f"requested {n_devices} devices, only {len(devs)} available"
+        )
         devs = devs[:n_devices]
     n = len(devs)
     assert n % model_parallel == 0, (n, model_parallel)
@@ -47,15 +50,50 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch):
     """Place a pytree of host arrays with the batch dim sharded over 'data';
-    rank-0 leaves (per-step scalars) are replicated."""
+    rank-0 leaves (per-step scalars) are replicated.
+
+    Single-process: plain device_put. Multi-process (jax.distributed): each
+    host holds only its contiguous slice of the global batch, assembled into
+    one global array via ``jax.make_array_from_process_local_data``."""
     sharded = NamedSharding(mesh, P(DATA_AXIS))
     scalar = NamedSharding(mesh, P())
+    multiproc = jax.process_count() > 1
 
     def put(a):
         nd = getattr(a, "ndim", None)
         if nd is None:
             nd = np.ndim(a)
-        return jax.device_put(a, scalar if nd == 0 else sharded)
+        if nd == 0:
+            return jax.device_put(a, scalar)
+        if multiproc:
+            return jax.make_array_from_process_local_data(
+                sharded, np.asarray(a)
+            )
+        return jax.device_put(a, sharded)
+
+    return jax.tree.map(put, batch)
+
+
+def shard_microbatches(mesh: Mesh, batch):
+    """Place a pytree of stacked micro-batches (gradient accumulation):
+    leaves are [n_micro, batch, ...] with the batch axis (axis 1) sharded
+    over 'data' and the micro axis unsharded (scanned inside the jit step).
+    Rank-1 leaves ([n_micro] stacked per-step scalars) are replicated."""
+    sharded = NamedSharding(mesh, P(None, DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+    multiproc = jax.process_count() > 1
+
+    def put(a):
+        nd = getattr(a, "ndim", None)
+        if nd is None:
+            nd = np.ndim(a)
+        if nd <= 1:
+            return jax.device_put(a, repl)
+        if multiproc:
+            return jax.make_array_from_process_local_data(
+                sharded, np.asarray(a)
+            )
+        return jax.device_put(a, sharded)
 
     return jax.tree.map(put, batch)
 

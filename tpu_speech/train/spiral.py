@@ -62,10 +62,18 @@ def init_spiral_state(model: ST2VecEncoder, rng, spec_shape, tx):
 
 def make_pretrain_step(model: ST2VecEncoder, cfg: ST2VecConfig, tx,
                        grad_clip: Optional[float] = None,
-                       bf16: bool = False):
+                       bf16: bool = False,
+                       accum_steps: int = 1):
     """bf16=True runs the network forward/backward in bfloat16 (params cast
     per step; optimizer state and updates stay float32 — standard TPU mixed
-    precision)."""
+    precision).
+
+    accum_steps>1 implements trainer.accumulate_grad_batches (reference knob
+    spiral_base_pretrain_ls960.py:218): the step takes stacked micro-batches
+    (leaves [accum_steps, batch, ...], see parallel.mesh.shard_microbatches),
+    scans them accumulating gradients, and applies ONE optimizer + EMA update
+    per call — the micro-batch scan trades HBM for steps so the global-batch
+    recipe fits on fewer chips."""
     mask_emb = jnp.asarray(gaussian_mask_emb(cfg.num_features))
 
     def _cast(tree, dtype):
@@ -138,11 +146,35 @@ def make_pretrain_step(model: ST2VecEncoder, cfg: ST2VecConfig, tx,
         )
         return loss, (acc, new_model_state.get("batch_stats", batch_stats))
 
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: SpiralTrainState, batch, rng):
-        (loss, (acc, batch_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, state.batch_stats, state.teacher, batch, rng)
+        if accum_steps > 1:
+            def micro(carry, xs):
+                grads_acc, loss_acc, acc_acc, batch_stats = carry
+                mb, r = xs
+                (loss, (acc, batch_stats)), grads = grad_fn(
+                    state.params, batch_stats, state.teacher, mb, r
+                )
+                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                return (grads_acc, loss_acc + loss, acc_acc + acc,
+                        batch_stats), None
+
+            rs = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
+                jnp.arange(accum_steps)
+            )
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, loss, acc, batch_stats), _ = jax.lax.scan(
+                micro, (zeros, 0.0, 0.0, state.batch_stats), (batch, rs)
+            )
+            inv = 1.0 / accum_steps
+            grads = jax.tree.map(lambda g: g * inv, grads)
+            loss, acc = loss * inv, acc * inv
+        else:
+            (loss, (acc, batch_stats)), grads = grad_fn(
+                state.params, state.batch_stats, state.teacher, batch, rng
+            )
         if grad_clip is not None:
             gnorm = jnp.sqrt(
                 sum(jnp.sum(g * g) for g in jax.tree.leaves(grads))
@@ -168,10 +200,15 @@ def make_pretrain_step(model: ST2VecEncoder, cfg: ST2VecConfig, tx,
 
 
 def host_augment_batch(cfg: ST2VecConfig, wavs, wav_lens, p_wavs, p_wav_lens,
-                       spec_len: int, rng: np.random.Generator):
+                       spec_len: int, rng: np.random.Generator,
+                       shift_rng: Optional[np.random.Generator] = None):
     """Host-side per-batch randomness: student masks + teacher shift amounts.
 
     spec_len: static padded spec length (= padded wav len / hop, rounded to 16).
+    shift_rng: source for the batch-level shift scalars. Under multi-host DP
+    these are REPLICATED leaves, so every process must draw identical values —
+    pass a generator seeded by the global step, while `rng` stays per-process
+    for the (independent) per-example masks.
     """
     hop = int(0.01 * cfg.sample_rate)
     spec_lens = np.ceil(np.asarray(p_wav_lens) / hop).astype(np.int32)
@@ -180,8 +217,10 @@ def host_augment_batch(cfg: ST2VecConfig, wavs, wav_lens, p_wavs, p_wav_lens,
         cfg.mask_prob, cfg.mask_length, cfg.mask_channel_prob,
         cfg.mask_channel_length, rng=rng,
     )
-    shift_k = int(rng.integers(0, cfg.max_shift + 1))
-    shift_r = int(rng.integers(0, cfg.max_shift + 1))
+    if shift_rng is None:
+        shift_rng = rng
+    shift_k = int(shift_rng.integers(0, cfg.max_shift + 1))
+    shift_r = int(shift_rng.integers(0, cfg.max_shift + 1))
     return {
         "wavs": wavs, "wav_lens": wav_lens,
         "p_wavs": p_wavs, "p_wav_lens": p_wav_lens,

@@ -33,8 +33,14 @@ from tpu_speech.models.spiral.ctc import (
     make_finetune_step,
 )
 from tpu_speech.models.spiral.st2vec import ST2VecEncoder, wav_to_spec
-from tpu_speech.parallel.mesh import make_mesh, replicate, shard_batch
-from tpu_speech.train.schedules import polynomial_hold, warmup_cosine
+from tpu_speech.parallel import distributed
+from tpu_speech.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_microbatches,
+)
+from tpu_speech.train.optim import make_optimizer
 from tpu_speech.train.spiral import (
     host_augment_batch,
     init_spiral_state,
@@ -43,27 +49,21 @@ from tpu_speech.train.spiral import (
 from tpu_speech.utils.checkpoint import Checkpointer
 
 
-def _make_optimizer(optim_cfg, total_steps):
-    sched_cfg = optim_cfg.sched
-    if sched_cfg is None:
-        sched = optim_cfg.lr
-    elif sched_cfg.name == "PolynomialHoldDecayAnnealing":
-        warm = sched_cfg.warmup_steps or int(
-            (sched_cfg.warmup_ratio or 0.0) * sched_cfg.max_steps
-        )
-        hold = int((sched_cfg.hold_ratio or 0.0) * sched_cfg.max_steps)
-        sched = polynomial_hold(
-            optim_cfg.lr, warm, sched_cfg.max_steps, hold, min_lr=sched_cfg.min_lr
-        )
-    else:
-        sched = warmup_cosine(
-            optim_cfg.lr, sched_cfg.warmup_steps, sched_cfg.max_steps,
-            sched_cfg.min_lr,
-        )
-    return optax.adamw(
-        sched, b1=optim_cfg.betas[0], b2=optim_cfg.betas[1],
-        eps=optim_cfg.eps, weight_decay=optim_cfg.weight_decay,
-    )
+def _lr_scale(model_cfg, data_parallel: int, accum: int) -> float:
+    """Rescale the config lr for the actual effective batch.
+
+    The reference's configs are tuned for `expected_gpu_num` GPUs (its horovod
+    path rescales: run_spiral.py:83-86); here the linear-scaling analog covers
+    both the mesh size and gradient accumulation so recipes transfer across
+    chip counts."""
+    expected = getattr(model_cfg, "expected_gpu_num", 0) or 0
+    if expected <= 0:
+        return 1.0
+    return float(data_parallel * accum) / float(expected)
+
+
+def _make_optimizer(optim_cfg, total_steps, lr_scale: float = 1.0):
+    return make_optimizer(optim_cfg, total_steps, lr_scale=lr_scale)
 
 
 def _spec_len(crop_size: int, sample_rate: int) -> int:
@@ -78,8 +78,12 @@ class SpiralPretrainRunner:
         m = cfg.model
         self.enc_cfg = m.encoder
         self.log_dir = log_dir
+        self.primary = distributed.is_primary()
         os.makedirs(log_dir, exist_ok=True)
-        self.mesh = make_mesh()
+        n_dev = getattr(cfg.trainer, "devices", -1)
+        self.mesh = make_mesh(n_devices=n_dev if n_dev and n_dev > 0 else None)
+        n_data = self.mesh.shape["data"]
+        self.accum = max(1, getattr(cfg.trainer, "accumulate_grad_batches", 1))
 
         aug = None
         if m.train_ds.noise_manifest:
@@ -92,15 +96,29 @@ class SpiralPretrainRunner:
             m.train_ds.max_duration, augmentor=aug, return_both=True,
         )
         self.collate = AudioBatchCollate(m.train_ds.crop_size)
+        # ds.batch_size is per-device (reference per-GPU semantics,
+        # spiral_base_pretrain_ls960.py:173); the loader yields this
+        # process's share of the global batch.
+        local_batch = m.train_ds.batch_size * jax.local_device_count()
+        local_batch = min(local_batch, m.train_ds.batch_size * n_data)
         self.loader = DataLoader(
-            self.dataset, m.train_ds.batch_size, self.collate,
+            self.dataset, local_batch, self.collate,
             shuffle=m.train_ds.shuffle, num_workers=m.train_ds.num_workers,
+            shard_id=distributed.process_index(),
+            num_shards=distributed.process_count(),
         )
         self.spec_len = _spec_len(m.train_ds.crop_size, m.train_ds.sample_rate)
 
         self.model = ST2VecEncoder(self.enc_cfg)
         total_steps = m.optim.sched.max_steps if m.optim.sched else 100000
-        self.tx = _make_optimizer(m.optim, total_steps)
+        lr_scale = _lr_scale(m, n_data, self.accum)
+        if lr_scale != 1.0 and self.primary:
+            print(
+                f"lr rescaled x{lr_scale:.3f} "
+                f"(data_parallel={n_data}, accum={self.accum}, "
+                f"expected_gpu_num={m.expected_gpu_num})"
+            )
+        self.tx = _make_optimizer(m.optim, total_steps, lr_scale)
         state = init_spiral_state(
             self.model, jax.random.PRNGKey(0),
             (m.train_ds.batch_size, self.spec_len, self.enc_cfg.num_features),
@@ -110,15 +128,18 @@ class SpiralPretrainRunner:
         self.step_fn = make_pretrain_step(
             self.model, self.enc_cfg, self.tx, grad_clip=m.grad_clip,
             bf16=(getattr(m, 'precision', 'fp32') == 'bf16'),
+            accum_steps=self.accum,
         )
         self.ckpt = Checkpointer(os.path.join(log_dir, "ckpt"))
-        try:
-            from tensorboardX import SummaryWriter
+        self.tb = None
+        if self.primary:
+            try:
+                from tensorboardX import SummaryWriter
 
-            self.tb = SummaryWriter(log_dir)
-        except Exception:
-            self.tb = None
-        self.host_rng = np.random.default_rng(0)
+                self.tb = SummaryWriter(log_dir)
+            except Exception:
+                self.tb = None
+        self.host_rng = np.random.default_rng(distributed.process_index())
         self.iteration = 0
 
     def resume_if_exists(self):
@@ -129,23 +150,44 @@ class SpiralPretrainRunner:
         self.iteration = int(restored.step)
         return True
 
+    def _augment(self, raw, micro_idx: int = 0):
+        # shift scalars seeded by (global step, micro index) so all processes
+        # agree (they are replicated leaves of the global batch)
+        shift_rng = np.random.default_rng(
+            1_000_003 + self.iteration * self.accum + micro_idx
+        )
+        return host_augment_batch(
+            self.enc_cfg, raw["wavs"], raw["wav_lens"], raw["p_wavs"],
+            raw["p_wav_lens"], self.spec_len, self.host_rng, shift_rng,
+        )
+
     def train_epoch(self, epoch: int):
         losses, accs = [], []
         t0, n_sec = time.time(), 0.0
+        micro_buf = []
         for raw in self.loader:
-            batch = host_augment_batch(
-                self.enc_cfg, raw["wavs"], raw["wav_lens"], raw["p_wavs"],
-                raw["p_wav_lens"], self.spec_len, self.host_rng,
+            n_sec += (
+                float(np.sum(raw["wav_lens"]))
+                / self.cfg.model.train_ds.sample_rate
             )
-            batch = shard_batch(self.mesh, batch)
+            if self.accum > 1:
+                micro_buf.append(self._augment(raw, micro_idx=len(micro_buf)))
+                if len(micro_buf) < self.accum:
+                    continue
+                batch = jax.tree.map(
+                    lambda *xs: np.stack(xs), *micro_buf
+                )
+                micro_buf = []
+                batch = shard_microbatches(self.mesh, batch)
+            else:
+                batch = shard_batch(self.mesh, self._augment(raw))
             self.state, metrics = self.step_fn(
                 self.state, batch, jax.random.PRNGKey(self.iteration)
             )
             m = jax.device_get(metrics)
             losses.append(float(m["loss"]))
             accs.append(float(m["accuracy"]))
-            n_sec += float(np.sum(raw["wav_lens"])) / self.cfg.model.train_ds.sample_rate
-            if self.tb is not None and self.iteration % 50 == 0:
+            if (self.tb is not None and self.iteration % 50 == 0):
                 self.tb.add_scalar("train/loss", losses[-1], self.iteration)
                 self.tb.add_scalar("train/accuracy", accs[-1], self.iteration)
             self.iteration += 1
@@ -154,9 +196,10 @@ class SpiralPretrainRunner:
             f"Epoch {epoch}: loss = {np.mean(losses):.4f} | "
             f"acc = {np.mean(accs):.4f} | {n_sec / max(dt, 1e-9):.1f}x realtime\n"
         )
-        with open(os.path.join(self.log_dir, "train.log"), "a") as f:
-            f.write(msg)
-        self.ckpt.save(self.iteration, jax.device_get(self.state))
+        if self.primary:
+            with open(os.path.join(self.log_dir, "train.log"), "a") as f:
+                f.write(msg)
+            self.ckpt.save(self.iteration, jax.device_get(self.state))
         return float(np.mean(losses)) if losses else float("nan")
 
 
@@ -167,8 +210,11 @@ class SpiralFinetuneRunner:
         self.enc_cfg = m.encoder
         self.tokenizer = tokenizer
         self.log_dir = log_dir
+        self.primary = distributed.is_primary()
         os.makedirs(log_dir, exist_ok=True)
-        self.mesh = make_mesh()
+        n_dev = getattr(cfg.trainer, "devices", -1)
+        self.mesh = make_mesh(n_devices=n_dev if n_dev and n_dev > 0 else None)
+        self.accum = max(1, getattr(cfg.trainer, "accumulate_grad_batches", 1))
 
         from tpu_speech.text.tokenizers import BlankOffsetTokenizer
 
@@ -184,9 +230,12 @@ class SpiralFinetuneRunner:
             max_duration=m.train_ds.max_duration,
         )
         self.collate = AudioTextBatchCollate(max_samples, 512)
+        local_batch = m.train_ds.batch_size * jax.local_device_count()
         self.loader = DataLoader(
-            self.dataset, m.train_ds.batch_size, self.collate,
+            self.dataset, local_batch, self.collate,
             shuffle=m.train_ds.shuffle, num_workers=m.train_ds.num_workers,
+            shard_id=distributed.process_index(),
+            num_shards=distributed.process_count(),
         )
 
         self.model = CTCFinetuneModel(
@@ -205,14 +254,23 @@ class SpiralFinetuneRunner:
                 params, pre["params"], m.use_teacher_encoder, pre.get("teacher")
             )
         total_steps = m.optim.sched.max_steps if m.optim.sched else 80000
-        self.tx = _make_optimizer(m.optim, total_steps)
+        n_data = self.mesh.shape["data"]
+        lr_scale = _lr_scale(m, n_data, self.accum)
+        if lr_scale != 1.0 and self.primary:
+            print(
+                f"lr rescaled x{lr_scale:.3f} "
+                f"(data_parallel={n_data}, accum={self.accum}, "
+                f"expected_gpu_num={m.expected_gpu_num})"
+            )
+        self.tx = _make_optimizer(m.optim, total_steps, lr_scale)
         state = CTCTrainState(
             jnp.zeros((), jnp.int32), params,
             variables.get("batch_stats", {}), self.tx.init(params),
         )
         self.state = replicate(self.mesh, state)
         self.step_fn = make_finetune_step(
-            self.model, self.enc_cfg, self.tx, m.freeze_finetune_updates
+            self.model, self.enc_cfg, self.tx, m.freeze_finetune_updates,
+            accum_steps=self.accum,
         )
         self.ckpt = Checkpointer(os.path.join(log_dir, "ckpt"))
         self.iteration = 0
@@ -237,17 +295,27 @@ class SpiralFinetuneRunner:
 
     def train_epoch(self, epoch: int):
         losses = []
+        micro_buf = []
         for raw in self.loader:
             batch = {k: v for k, v in raw.items() if k != "texts"}
+            if self.accum > 1:
+                micro_buf.append(batch)
+                if len(micro_buf) < self.accum:
+                    continue
+                batch = jax.tree.map(lambda *xs: np.stack(xs), *micro_buf)
+                micro_buf = []
+                batch = shard_microbatches(self.mesh, batch)
+            else:
+                batch = shard_batch(self.mesh, batch)
             self.state, metrics = self.step_fn(
-                self.state, shard_batch(self.mesh, batch),
-                jax.random.PRNGKey(self.iteration),
+                self.state, batch, jax.random.PRNGKey(self.iteration)
             )
             losses.append(float(jax.device_get(metrics)["loss"]))
             self.iteration += 1
-        with open(os.path.join(self.log_dir, "train.log"), "a") as f:
-            f.write(f"Epoch {epoch}: ctc loss = {np.mean(losses):.4f}\n")
-        self.ckpt.save(self.iteration, jax.device_get(self.state))
+        if self.primary:
+            with open(os.path.join(self.log_dir, "train.log"), "a") as f:
+                f.write(f"Epoch {epoch}: ctc loss = {np.mean(losses):.4f}\n")
+            self.ckpt.save(self.iteration, jax.device_get(self.state))
         return float(np.mean(losses)) if losses else float("nan")
 
     def evaluate(self, manifest: Optional[str] = None, save_logits_dir=None):

@@ -14,6 +14,7 @@ from typing import Any, List, Optional, Sequence, Tuple
 
 @dataclasses.dataclass
 class AdamWParams:
+    name: str = "adamw"
     lr: float = 1e-3
     eps: float = 1e-6
     betas: Tuple[float, float] = (0.9, 0.98)
@@ -23,9 +24,30 @@ class AdamWParams:
 
 @dataclasses.dataclass
 class AdamParams:
+    name: str = "adam"
     lr: float = 1e-3
     eps: float = 1e-8
     betas: Tuple[float, float] = (0.9, 0.999)
+    weight_decay: float = 0.0
+    sched: Optional["SchedParams"] = None
+
+
+@dataclasses.dataclass
+class NovogradParams:
+    """Reference core/optim/novograd.py defaults."""
+    name: str = "novograd"
+    lr: float = 1e-2
+    eps: float = 1e-8
+    betas: Tuple[float, float] = (0.95, 0.25)
+    weight_decay: float = 0.0
+    sched: Optional["SchedParams"] = None
+
+
+@dataclasses.dataclass
+class SGDParams:
+    name: str = "sgd"
+    lr: float = 1e-2
+    momentum: float = 0.0
     weight_decay: float = 0.0
     sched: Optional["SchedParams"] = None
 
@@ -38,6 +60,7 @@ class SchedParams:
     hold_ratio: Optional[float] = None
     max_steps: int = 100000
     min_lr: float = 0.0
+    d_model: int = 512  # NoamAnnealing only
 
 
 @dataclasses.dataclass
