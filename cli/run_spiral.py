@@ -89,10 +89,27 @@ def main(argv=None):
     log_dir = args.model_save_dir
     print(f"train config: {cfg}")
 
+    # exp_manager composition (reference spiral_pretrain.py:102 +
+    # utils/exp_manager.py:105): versioned/explicit run dir, git hash+diff,
+    # config snapshot, TB — side effects on the primary process only.
+    exp = None
+    import jax as _jax
+
+    if _jax.process_index() == 0:
+        from tpu_speech.utils.exp_manager import ExpManager
+
+        exp = ExpManager(
+            name=cfg.exp_manager.name or args.config_name,
+            explicit_log_dir=log_dir,
+            resume_if_exists=args.resume_if_exists,
+        )
+        exp.save_config(cfg)
+        log_dir = exp.log_dir
+
     if args.model_type in ("spiral", "st2vec"):
         from tpu_speech.train.spiral_runner import SpiralPretrainRunner
 
-        runner = SpiralPretrainRunner(cfg, log_dir)
+        runner = SpiralPretrainRunner(cfg, log_dir, exp=exp)
         if args.resume_if_exists and runner.resume_if_exists():
             print(f"Resumed from iteration {runner.iteration}")
         for epoch in range(1, cfg.trainer.max_epochs + 1):
@@ -118,7 +135,7 @@ def main(argv=None):
             )
     cfg.model.use_teacher_encoder = args.use_teacher_encoder
 
-    runner = SpiralFinetuneRunner(cfg, log_dir, tokenizer)
+    runner = SpiralFinetuneRunner(cfg, log_dir, tokenizer, exp=exp)
     if args.resume_if_exists and runner.resume_if_exists():
         print(f"Resumed from iteration {runner.iteration}")
 

@@ -43,7 +43,45 @@ def init_params(model, seed=0):
     )
 
 
+def build_preview_batch(dataset, filelist_path, multispeaker, n=3):
+    """Fixed synthesis-preview sentences from the test filelist
+    (reference test_batch, Grad-TTS/train.py:85-95)."""
+    try:
+        with open(filelist_path, encoding="utf-8") as f:
+            lines = [ln.strip().split("|") for ln in f if ln.strip()][:n]
+    except OSError:
+        return None
+    if not lines:
+        return None
+    seqs = [dataset.get_text(parts[1]) for parts in lines]
+    max_len = max(len(s) for s in seqs)
+    x = np.zeros((len(seqs), max_len), dtype=np.int32)
+    for i, s in enumerate(seqs):
+        x[i, : len(s)] = s
+    batch = {
+        "x": x,
+        "x_lengths": np.array([len(s) for s in seqs], dtype=np.int32),
+    }
+    if multispeaker:
+        batch["spk"] = np.array(
+            [int(parts[2]) if len(parts) > 2 else 0 for parts in lines],
+            dtype=np.int32,
+        )
+    return batch
+
+
 def main(multispeaker: bool = False):
+    from tpu_speech.utils.exp_manager import ExpManager
+
+    exp = ExpManager(
+        name="gradtts_multi" if multispeaker else "gradtts",
+        explicit_log_dir=params.log_dir,
+    )
+    exp.save_config({
+        k: v for k, v in vars(params).items()
+        if not k.startswith("_") and isinstance(v, (int, float, str, bool, list, tuple))
+    })
+
     print("Initializing data loaders...")
     dataset = TextMelDataset(
         params.train_filelist_path, params.cmudict_path, params.add_blank,
@@ -63,10 +101,13 @@ def main(multispeaker: bool = False):
     n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(model_params))
     print(f"Total parameters: {n / 1e6:.2f}m")
 
+    preview = build_preview_batch(
+        dataset, params.test_filelist_path, multispeaker
+    )
     trainer = GradTTSTrainer(
         model, model_params, params.log_dir,
         learning_rate=params.learning_rate, out_size=params.out_size,
-        save_every=params.save_every,
+        save_every=params.save_every, exp=exp, preview_batch=preview,
     )
     if trainer.resume_if_exists():
         print(f"Resumed from iteration {trainer.iteration}")

@@ -75,9 +75,18 @@ def main():
     n = sum(p.size for p in jax.tree.leaves(model_params))
     print(f"Number of parameters = {n / 1e6:.2f}m")
 
+    from tpu_speech.train.diffvc import make_dec_preview
+    from tpu_speech.utils.exp_manager import ExpManager
+
+    exp = ExpManager(name="diffvc_dec", explicit_log_dir=args.log_dir)
+    exp.save_config(vars(args))
+    preview_batch = next(iter(loader))
     tx = optax.adam(args.lr)
     state = TrainState.create({"params": model_params}, tx)
-    trainer = DiffVCTrainer(make_dec_train_step(model, tx), state, args.log_dir)
+    trainer = DiffVCTrainer(
+        make_dec_train_step(model, tx), state, args.log_dir, exp=exp,
+        preview_fn=make_dec_preview(model, preview_batch),
+    )
     if trainer.resume_if_exists():
         print(f"Resumed from iteration {trainer.iteration}")
     base_rng = jax.random.PRNGKey(params.seed)

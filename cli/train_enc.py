@@ -50,9 +50,18 @@ def main():
     n = sum(p.size for p in jax.tree.leaves(variables))
     print(f"Number of encoder parameters = {n / 1e6:.2f}m")
 
+    from tpu_speech.train.diffvc import make_enc_preview
+    from tpu_speech.utils.exp_manager import ExpManager
+
+    exp = ExpManager(name="diffvc_enc", explicit_log_dir=args.log_dir)
+    exp.save_config(vars(args))
+    preview_batch = next(iter(loader))
     tx = optax.adam(args.lr)
     state = TrainState.create({"params": variables["params"]}, tx)
-    trainer = DiffVCTrainer(make_enc_train_step(model, tx), state, args.log_dir)
+    trainer = DiffVCTrainer(
+        make_enc_train_step(model, tx), state, args.log_dir, exp=exp,
+        preview_fn=make_enc_preview(model, preview_batch),
+    )
     if trainer.resume_if_exists():
         print(f"Resumed from iteration {trainer.iteration}")
     base_rng = jax.random.PRNGKey(params.seed)

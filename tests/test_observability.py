@@ -1,0 +1,113 @@
+"""Observability wiring: trainers actually produce the reference's artifacts
+(per-epoch synthesis preview images, Griffin-Lim audio, versioned run dir
+with git/env capture) instead of the aux modules being test-only shelfware.
+
+Reference behaviors mirrored: Grad-TTS/train.py:142-175 (TB mel/attention
+images + PNGs each epoch), DiffVC/train_dec.py:115-136 (mel images + GL audio),
+SPIRAL/nemo/utils/exp_manager.py:105-489 (run dir, git hash/diff, config)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_speech.models.grad_tts import GradTTS
+from tpu_speech.parallel.mesh import make_mesh
+from tpu_speech.train.gradtts import GradTTSTrainer
+from tpu_speech.utils.exp_manager import ExpManager
+
+
+def _tiny_gradtts():
+    model = GradTTS(
+        n_vocab=40, n_enc_channels=16, filter_channels=32,
+        filter_channels_dp=16, n_heads=2, n_enc_layers=1, enc_kernel=3,
+        enc_dropout=0.1, window_size=2, n_feats=8, dec_dim=8,
+    )
+    x = jnp.ones((1, 8), dtype=jnp.int32)
+    xl = jnp.array([8])
+    y = jnp.zeros((1, 16, 8))
+    yl = jnp.array([16])
+    params = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0)}, x, xl, y, yl,
+        jax.random.PRNGKey(1), train=False,
+    )
+    return model, params
+
+
+def test_gradtts_trainer_epoch_produces_artifacts(tmp_path):
+    model, params = _tiny_gradtts()
+    exp = ExpManager(name="tts", base_dir=str(tmp_path))
+    rng = np.random.default_rng(0)
+    preview = {
+        "x": rng.integers(1, 40, size=(2, 10)).astype(np.int32),
+        "x_lengths": np.array([10, 8], dtype=np.int32),
+    }
+    trainer = GradTTSTrainer(
+        model, params, str(tmp_path), out_size=None, exp=exp,
+        preview_batch=preview, preview_timesteps=2, preview_max_frames=32,
+        mesh=make_mesh(n_devices=2),
+    )
+    batch = {
+        "x": rng.integers(1, 40, size=(2, 12)).astype(np.int32),
+        "x_lengths": np.full((2,), 12, dtype=np.int32),
+        "y": rng.standard_normal((2, 32, 8)).astype(np.float32),
+        "y_lengths": np.full((2,), 32, dtype=np.int32),
+    }
+    trainer.log_ground_truth(batch)
+    stats = trainer.train_epoch([batch], 1, jax.random.PRNGKey(0))
+    assert np.isfinite(stats["diff_loss"])
+
+    run_dir = exp.log_dir
+    assert os.path.exists(os.path.join(run_dir, "env.json"))
+    assert os.path.exists(os.path.join(run_dir, "train.log"))
+    assert os.path.exists(os.path.join(run_dir, "generated_dec_0.png"))
+    assert os.path.exists(os.path.join(run_dir, "alignment_0.png"))
+    assert os.path.isdir(os.path.join(run_dir, "ckpt"))
+    # step timing made it into the rolling stats
+    assert trainer.timer.summary()["step"]["count"] >= 1
+
+
+def test_diffvc_dec_preview_logs_audio(tmp_path):
+    import optax
+
+    from tpu_speech.models.diffvc.vc import DiffVC
+    from tpu_speech.train.diffvc import (
+        DiffVCTrainer,
+        make_dec_preview,
+        make_dec_train_step,
+    )
+    from tpu_speech.train.state import TrainState
+
+    n_mels, frames = 8, 16
+    model = DiffVC(
+        n_mels, 16, 32, 2, 1, 3, 0.1, 2, 8, 16, True, 8, 0.05, 20.0,
+    )
+    x = jnp.zeros((1, frames, n_mels))
+    xl = jnp.array([frames])
+    c = jnp.zeros((1, 256))
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), x, xl, x, c, jax.random.PRNGKey(1), train=False
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "mel1": rng.standard_normal((2, frames, n_mels)).astype(np.float32),
+        "mel2": rng.standard_normal((2, frames, n_mels)).astype(np.float32),
+        "mel_lengths": np.full((2,), frames, dtype=np.int32),
+        "c": rng.standard_normal((2, 256)).astype(np.float32),
+    }
+    tx = optax.adam(1e-4)
+    state = TrainState.create({"params": variables["params"]}, tx)
+    exp = ExpManager(name="vc", base_dir=str(tmp_path))
+    trainer = DiffVCTrainer(
+        make_dec_train_step(model, tx), state, str(tmp_path), exp=exp,
+        mesh=make_mesh(n_devices=2),
+        preview_fn=make_dec_preview(model, batch, n=1, n_timesteps=2,
+                                    sample_rate=22050),
+    )
+    loss = trainer.train_epoch([batch], 1, jax.random.PRNGKey(0))
+    assert np.isfinite(loss)
+    assert os.path.exists(os.path.join(exp.log_dir, "dec_0_generated.png"))
+    assert os.path.exists(os.path.join(exp.log_dir, "dec_0_generated.wav"))

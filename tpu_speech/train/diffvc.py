@@ -87,24 +87,124 @@ def make_dec_train_step(model: DiffVC, tx):
     return step
 
 
+def _log_mel_and_audio(trainer, tag: str, log_mel, epoch: int,
+                       sample_rate: int, n_mels: int):
+    """One preview item: mel image (TB + PNG) and Griffin-Lim audio (TB),
+    the reference's epoch-end observability (train_dec.py:115-136)."""
+    from tpu_speech.audio.vocode import fast_griffin_lim
+    from tpu_speech.utils.plotting import plot_tensor, save_plot
+
+    from tpu_speech.data.wav import write_wav
+
+    mel = np.asarray(log_mel)
+    if trainer.tb is not None:
+        trainer.tb.add_image(
+            f"{tag}/mel", plot_tensor(mel.T), epoch, dataformats="HWC"
+        )
+    wav = np.asarray(fast_griffin_lim(
+        jnp.asarray(mel)[None], n_mels=n_mels, sample_rate=sample_rate
+    ))[0]
+    wav = wav / (np.abs(wav).max() + 1e-6)
+    stem = tag.replace("/", "_")
+    write_wav(os.path.join(trainer.log_dir, f"{stem}.wav"), wav, sample_rate)
+    if trainer.tb is not None:
+        try:
+            trainer.tb.add_audio(
+                f"{tag}/audio", wav[:, None], epoch, sample_rate=sample_rate
+            )
+        except Exception:
+            pass  # tensorboardX audio encoding backend missing; wav on disk
+    save_plot(mel.T, os.path.join(trainer.log_dir, f"{stem}.png"))
+
+
+def make_enc_preview(model: FwdDiffusion, batch, n: int = 2,
+                     sample_rate: int = 22050):
+    """Stage-1 preview_fn: predicted average-voice mel vs target avg-mel
+    (+ GL audio), matching DiffVC/train_enc.py:111-132."""
+    fwd = jax.jit(lambda p, x, m: model.apply({"params": p}, x, m, train=False))
+
+    def preview(trainer, epoch):
+        x = jnp.asarray(batch["x"][:n])
+        lens = np.asarray(batch["lengths"][:n])
+        mask = sequence_mask(
+            jnp.asarray(lens), x.shape[1]
+        ).astype(x.dtype)[:, :, None]
+        pred = jax.device_get(fwd(trainer.state.params["params"], x, mask))
+        for i in range(min(n, x.shape[0])):
+            L = int(lens[i])
+            _log_mel_and_audio(trainer, f"enc_{i}/source", batch["x"][i][:L],
+                               epoch, sample_rate, model.n_feats)
+            _log_mel_and_audio(trainer, f"enc_{i}/predicted_avg", pred[i][:L],
+                               epoch, sample_rate, model.n_feats)
+            _log_mel_and_audio(trainer, f"enc_{i}/target_avg",
+                               batch["y"][i][:L], epoch, sample_rate,
+                               model.n_feats)
+
+    return preview
+
+
+def make_dec_preview(model: DiffVC, batch, n: int = 2, n_timesteps: int = 30,
+                     sample_rate: int = 22050):
+    """Stage-2 preview_fn: run the full reverse-diffusion conversion on fixed
+    validation items and log source/generated mels + GL audio
+    (DiffVC/train_dec.py:115-136)."""
+    from functools import partial as _partial
+
+    from tpu_speech.models.diffvc.vc import voice_convert
+
+    convert = jax.jit(_partial(voice_convert, model, n_timesteps=n_timesteps))
+
+    def preview(trainer, epoch):
+        x = jnp.asarray(batch["mel1"][:n])
+        lens = jnp.asarray(batch["mel_lengths"][:n])
+        c = jnp.asarray(batch["c"][:n])
+        params = {"params": trainer.state.params["params"]}
+        _, converted = jax.device_get(convert(
+            params, x, lens, x, lens, c, rng=jax.random.PRNGKey(epoch)
+        ))
+        lens = np.asarray(lens)
+        for i in range(min(n, x.shape[0])):
+            L = int(lens[i])
+            _log_mel_and_audio(trainer, f"dec_{i}/source",
+                               np.asarray(batch["mel1"][i][:L]), epoch,
+                               sample_rate, model.n_feats)
+            _log_mel_and_audio(trainer, f"dec_{i}/generated",
+                               converted[i][:L], epoch, sample_rate,
+                               model.n_feats)
+
+    return preview
+
+
 class DiffVCTrainer:
     """Generic epoch driver shared by both stages."""
 
-    def __init__(self, step_fn, state, log_dir: str, mesh=None, save_every=1):
+    def __init__(self, step_fn, state, log_dir: str, mesh=None, save_every=1,
+                 exp=None, preview_fn=None):
+        """exp: optional ExpManager owning the log dir/TB. preview_fn:
+        called as preview_fn(trainer, epoch) after each checkpoint — the
+        stage CLIs use it for the reference's per-epoch mel-image +
+        Griffin-Lim audio logging (DiffVC/train_dec.py:115-136)."""
         self.step_fn = step_fn
         self.mesh = mesh if mesh is not None else make_mesh()
         self.state = replicate(self.mesh, state)
+        self.exp = exp
+        if exp is not None:
+            log_dir = exp.log_dir
         self.log_dir = log_dir
         os.makedirs(log_dir, exist_ok=True)
         self.ckpt = Checkpointer(os.path.join(log_dir, "ckpt"))
         self.save_every = save_every
+        self.preview_fn = preview_fn
         self.iteration = 0
-        try:
-            from tensorboardX import SummaryWriter
+        if exp is not None:
+            self.tb = exp.tb
+        else:
+            try:
+                from tensorboardX import SummaryWriter
 
-            self.tb = SummaryWriter(log_dir)
-        except Exception:
-            self.tb = None
+                self.tb = SummaryWriter(log_dir)
+            except Exception:
+                self.tb = None
 
     def resume_if_exists(self) -> bool:
         restored = self.ckpt.restore_latest(jax.device_get(self.state))
@@ -138,4 +238,6 @@ class DiffVCTrainer:
             )
         if epoch % self.save_every == 0:
             self.ckpt.save(self.iteration, jax.device_get(self.state))
+            if self.preview_fn is not None:
+                self.preview_fn(self, epoch)
         return mean_loss

@@ -71,7 +71,8 @@ def make_train_step(model: GradTTS, tx: optax.GradientTransformation,
 
 
 class GradTTSTrainer:
-    """Epoch driver: logging (TensorBoard + train.log), checkpoints, resume."""
+    """Epoch driver: logging (TensorBoard + train.log), checkpoints, resume,
+    per-epoch synthesis previews (mel/attention images, Grad-TTS/train.py:142-175)."""
 
     def __init__(
         self,
@@ -82,8 +83,20 @@ class GradTTSTrainer:
         out_size: Optional[int] = None,
         mesh=None,
         save_every: int = 1,
+        exp=None,
+        preview_batch=None,
+        preview_timesteps: int = 50,
+        preview_max_frames: int = 512,
     ):
+        """exp: optional utils.exp_manager.ExpManager — owns the (versioned)
+        log dir, TB writer, env capture. preview_batch: dict with padded
+        int32 'x' (B, Tx) and 'x_lengths' (+ optional 'spk') used for the
+        per-epoch synthesis previews the reference logs as its de-facto
+        integration test (train.py:142-172)."""
         self.model = model
+        self.exp = exp
+        if exp is not None:
+            log_dir = exp.log_dir
         self.log_dir = log_dir
         os.makedirs(log_dir, exist_ok=True)
         self.tx = optax.adam(learning_rate)
@@ -93,12 +106,21 @@ class GradTTSTrainer:
         self.train_step = make_train_step(model, self.tx, out_size)
         self.ckpt = Checkpointer(os.path.join(log_dir, "ckpt"))
         self.save_every = save_every
-        try:
-            from tensorboardX import SummaryWriter
+        if exp is not None:
+            self.tb = exp.tb
+        else:
+            try:
+                from tensorboardX import SummaryWriter
 
-            self.tb = SummaryWriter(log_dir)
-        except Exception:
-            self.tb = None
+                self.tb = SummaryWriter(log_dir)
+            except Exception:
+                self.tb = None
+        self.preview_batch = preview_batch
+        self.preview_timesteps = preview_timesteps
+        self.preview_max_frames = preview_max_frames
+        from tpu_speech.utils.profiling import StepTimer
+
+        self.timer = StepTimer()
         self.iteration = 0
 
     def resume_if_exists(self) -> bool:
@@ -109,6 +131,65 @@ class GradTTSTrainer:
         self.iteration = int(restored.step)
         return True
 
+    def log_ground_truth(self, batch, n: int = 3):
+        """Log target mels once at startup (Grad-TTS/train.py:89-95)."""
+        if self.tb is None:
+            return
+        from tpu_speech.utils.plotting import plot_tensor
+
+        for i in range(min(n, len(batch["y"]))):
+            L = int(batch["y_lengths"][i])
+            img = plot_tensor(np.asarray(batch["y"][i][:L]).T)
+            self.tb.add_image(
+                f"image_{i}/ground_truth", img, 0, dataformats="HWC"
+            )
+
+    _preview_fn = None
+
+    def log_previews(self, epoch: int, n: int = 3):
+        """Per-epoch synthesis previews: generated enc/dec mels + alignment
+        images to TB and PNGs in the log dir (train.py:142-172 — the
+        reference's de-facto integration test)."""
+        if self.preview_batch is None:
+            return
+        from functools import partial as _partial
+
+        from tpu_speech.models.grad_tts import synthesize
+        from tpu_speech.utils.plotting import plot_tensor, save_plot
+
+        if self._preview_fn is None:
+            self._preview_fn = jax.jit(_partial(
+                synthesize, self.model,
+                n_timesteps=self.preview_timesteps,
+                y_max_length=self.preview_max_frames,
+            ))
+        pb = self.preview_batch
+        enc, dec, attn, ylen = jax.device_get(self._preview_fn(
+            self.state.params,
+            jnp.asarray(pb["x"]), jnp.asarray(pb["x_lengths"]),
+            spk=(jnp.asarray(pb["spk"]) if pb.get("spk") is not None else None),
+            rng=jax.random.PRNGKey(epoch),
+        ))
+        for i in range(min(n, len(pb["x"]))):
+            L = max(int(ylen[i]), 1)
+            tx_len = int(pb["x_lengths"][i])
+            enc_i = np.asarray(enc[i][:L]).T
+            dec_i = np.asarray(dec[i][:L]).T
+            attn_i = np.asarray(attn[i])[:tx_len, :L]
+            if self.tb is not None:
+                self.tb.add_image(f"image_{i}/generated_enc",
+                                  plot_tensor(enc_i), self.iteration,
+                                  dataformats="HWC")
+                self.tb.add_image(f"image_{i}/generated_dec",
+                                  plot_tensor(dec_i), self.iteration,
+                                  dataformats="HWC")
+                self.tb.add_image(f"image_{i}/alignment",
+                                  plot_tensor(attn_i), self.iteration,
+                                  dataformats="HWC")
+            save_plot(enc_i, os.path.join(self.log_dir, f"generated_enc_{i}.png"))
+            save_plot(dec_i, os.path.join(self.log_dir, f"generated_dec_{i}.png"))
+            save_plot(attn_i, os.path.join(self.log_dir, f"alignment_{i}.png"))
+
     def train_epoch(self, loader, epoch: int, base_rng: jax.Array):
         agg = {"dur_loss": [], "prior_loss": [], "diff_loss": []}
         t0 = time.time()
@@ -116,15 +197,19 @@ class GradTTSTrainer:
         for batch in loader:
             rng = jax.random.fold_in(base_rng, self.iteration)
             batch = shard_batch(self.mesh, batch)
+            self.timer.tick("step")
             self.state, metrics = self.train_step(self.state, batch, rng)
+            m = jax.device_get(metrics)  # sync point closes the step timing
+            self.timer.tock("step")
             if self.tb is not None and self.iteration % 10 == 0:
-                m = jax.device_get(metrics)
                 self.tb.add_scalar("training/duration_loss", float(m["dur_loss"]), self.iteration)
                 self.tb.add_scalar("training/prior_loss", float(m["prior_loss"]), self.iteration)
                 self.tb.add_scalar("training/diffusion_loss", float(m["diff_loss"]), self.iteration)
                 self.tb.add_scalar("training/encoder_grad_norm", float(m["enc_grad_norm"]), self.iteration)
                 self.tb.add_scalar("training/decoder_grad_norm", float(m["dec_grad_norm"]), self.iteration)
-            m = jax.device_get(metrics)
+                st = self.timer.summary().get("step")
+                if st is not None:
+                    self.tb.add_scalar("training/step_time_ms", st["mean_s"] * 1e3, self.iteration)
             for k in agg:
                 agg[k].append(float(m[k]))
             n_frames += int(np.sum(jax.device_get(batch["y_lengths"])))
@@ -146,4 +231,5 @@ class GradTTSTrainer:
             f.write(msg)
         if epoch % self.save_every == 0:
             self.ckpt.save(self.iteration, jax.device_get(self.state))
+            self.log_previews(epoch)
         return {k: float(np.mean(v)) if v else float("nan") for k, v in agg.items()}

@@ -73,10 +73,13 @@ def _spec_len(crop_size: int, sample_rate: int) -> int:
 
 
 class SpiralPretrainRunner:
-    def __init__(self, cfg, log_dir: str):
+    def __init__(self, cfg, log_dir: str, exp=None):
         self.cfg = cfg
         m = cfg.model
         self.enc_cfg = m.encoder
+        self.exp = exp
+        if exp is not None:
+            log_dir = exp.log_dir
         self.log_dir = log_dir
         self.primary = distributed.is_primary()
         os.makedirs(log_dir, exist_ok=True)
@@ -133,12 +136,18 @@ class SpiralPretrainRunner:
         self.ckpt = Checkpointer(os.path.join(log_dir, "ckpt"))
         self.tb = None
         if self.primary:
-            try:
-                from tensorboardX import SummaryWriter
+            if exp is not None:
+                self.tb = exp.tb
+            else:
+                try:
+                    from tensorboardX import SummaryWriter
 
-                self.tb = SummaryWriter(log_dir)
-            except Exception:
-                self.tb = None
+                    self.tb = SummaryWriter(log_dir)
+                except Exception:
+                    self.tb = None
+        from tpu_speech.utils.profiling import StepTimer
+
+        self.timer = StepTimer()
         self.host_rng = np.random.default_rng(distributed.process_index())
         self.iteration = 0
 
@@ -181,20 +190,30 @@ class SpiralPretrainRunner:
                 batch = shard_microbatches(self.mesh, batch)
             else:
                 batch = shard_batch(self.mesh, self._augment(raw))
+            self.timer.tick("step")
             self.state, metrics = self.step_fn(
                 self.state, batch, jax.random.PRNGKey(self.iteration)
             )
-            m = jax.device_get(metrics)
+            m = jax.device_get(metrics)  # sync point closes the step timing
+            self.timer.tock("step")
             losses.append(float(m["loss"]))
             accs.append(float(m["accuracy"]))
             if (self.tb is not None and self.iteration % 50 == 0):
                 self.tb.add_scalar("train/loss", losses[-1], self.iteration)
                 self.tb.add_scalar("train/accuracy", accs[-1], self.iteration)
+                st = self.timer.summary().get("step")
+                if st is not None:
+                    self.tb.add_scalar(
+                        "train/step_time_ms", st["mean_s"] * 1e3, self.iteration
+                    )
             self.iteration += 1
         dt = time.time() - t0
+        st = self.timer.summary().get("step", {})
         msg = (
             f"Epoch {epoch}: loss = {np.mean(losses):.4f} | "
-            f"acc = {np.mean(accs):.4f} | {n_sec / max(dt, 1e-9):.1f}x realtime\n"
+            f"acc = {np.mean(accs):.4f} | "
+            f"step {st.get('mean_s', 0.0) * 1e3:.0f} ms | "
+            f"{n_sec / max(dt, 1e-9):.1f}x realtime\n"
         )
         if self.primary:
             with open(os.path.join(self.log_dir, "train.log"), "a") as f:
@@ -204,11 +223,14 @@ class SpiralPretrainRunner:
 
 
 class SpiralFinetuneRunner:
-    def __init__(self, cfg, log_dir: str, tokenizer):
+    def __init__(self, cfg, log_dir: str, tokenizer, exp=None):
         self.cfg = cfg
         m = cfg.model
         self.enc_cfg = m.encoder
         self.tokenizer = tokenizer
+        self.exp = exp
+        if exp is not None:
+            log_dir = exp.log_dir
         self.log_dir = log_dir
         self.primary = distributed.is_primary()
         os.makedirs(log_dir, exist_ok=True)
