@@ -77,6 +77,10 @@ class CTCFinetuneModel(nn.Module):
         ConvLayerCfg(512, (5,), (1,), None, "relu", 0.1),
         ConvLayerCfg(512, (5,), (1,), None, "relu", 0.1),
     )
+    # char recipes upsample the 8x-subsampled features 4x before CTC
+    # (spiral_base_finetune_ls100_char.py ProjUpsampling rate=4)
+    upsample_rate: Optional[int] = None
+    upsample_filters: int = 512
 
     @property
     def blank_idx(self) -> int:
@@ -89,7 +93,9 @@ class CTCFinetuneModel(nn.Module):
     def setup(self):
         self.encoder = ST2VecEncoder(self.encoder_cfg)
         self.decoder = ConvASRDecoder(
-            self.num_classes, self.decoder_convs, self.blank_pos
+            self.num_classes, self.decoder_convs, self.blank_pos,
+            upsample_rate=self.upsample_rate,
+            upsample_filters=self.upsample_filters,
         )
 
     def __call__(self, specs, spec_lens, train: bool = False,

@@ -59,14 +59,37 @@ def spiral_base_blocks() -> Tuple[ConvTransformerBlockCfg, ...]:
                 ConvLayerCfg(512, (5,), (2,), "ln", "relu", 0.1),
                 ConvLayerCfg(512, (1,), (1,), "ln", None, 0.0),
             ),
-            transformer=TransformerCfg(2, 512, 2048, 8, 0.1, 0.0),
+            transformer=TransformerCfg(2, 512, 2048, 8, 0.1, encoder_layerdrop=0.0),
         ),
         ConvTransformerBlockCfg(
             conv_layers=(
                 ConvLayerCfg(1536, (5,), (2,), "ln", "relu", 0.1),
                 ConvLayerCfg(768, (1,), (1,), "ln", None, 0.0),
             ),
-            transformer=TransformerCfg(10, 768, 3072, 12, 0.1, 0.05),
+            transformer=TransformerCfg(10, 768, 3072, 12, 0.1, encoder_layerdrop=0.05),
+        ),
+    )
+
+
+# SPIRAL-large feature encoder (spiral_large_pretrain_librilight.py:49-113):
+# block1 convs 384/512 stride 2,2 + 512 1x1 + 4-layer transformer(512);
+# block2 convs 2048 stride 2 + 1024 1x1 + 20-layer transformer(1024, 16 heads)
+def spiral_large_blocks() -> Tuple[ConvTransformerBlockCfg, ...]:
+    return (
+        ConvTransformerBlockCfg(
+            conv_layers=(
+                ConvLayerCfg(384, (5,), (2,), "ln", "relu", 0.1),
+                ConvLayerCfg(512, (5,), (2,), "ln", "relu", 0.1),
+                ConvLayerCfg(512, (1,), (1,), "ln", None, 0.0),
+            ),
+            transformer=TransformerCfg(4, 512, 2048, 8, 0.1, encoder_layerdrop=0.05),
+        ),
+        ConvTransformerBlockCfg(
+            conv_layers=(
+                ConvLayerCfg(2048, (5,), (2,), "ln", "relu", 0.1),
+                ConvLayerCfg(1024, (1,), (1,), "ln", None, 0.0),
+            ),
+            transformer=TransformerCfg(20, 1024, 4096, 16, 0.1, encoder_layerdrop=0.05),
         ),
     )
 

@@ -66,6 +66,25 @@ def spiral_base_config(**overrides) -> ST2VecConfig:
     return ST2VecConfig(blocks=spiral_base_blocks(), **overrides)
 
 
+def spiral_large_config(**overrides) -> ST2VecConfig:
+    """SPIRAL-large (spiral_large_pretrain_librilight.py:36-158): 1024-d
+    encoder, 512-d projector/predictor, EMA momentum 0.99 -> 0.999."""
+    from tpu_speech.models.spiral.encoder import spiral_large_blocks
+
+    kw = dict(
+        blocks=spiral_large_blocks(),
+        projector_dim=512,
+        predictor_convs=(
+            ConvLayerCfg(512, (5,), (1,), "bn", "relu", 0.0, bias=None),
+            ConvLayerCfg(512, (5,), (1,), "bn", "relu", 0.0, bias=None),
+        ),
+        target_momentum=0.99,
+        target_momentum_final=0.999,
+    )
+    kw.update(overrides)
+    return ST2VecConfig(**kw)
+
+
 class ST2VecEncoder(nn.Module):
     """Student tower: feature encoder -> projector -> predictor.
 

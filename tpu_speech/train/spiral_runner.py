@@ -67,8 +67,10 @@ def _make_optimizer(optim_cfg, total_steps, lr_scale: float = 1.0):
 
 
 def _spec_len(crop_size: int, sample_rate: int) -> int:
+    """Static padded spec length for a crop: center=True STFT yields
+    1 + N//hop frames (features.py:84), then pad to a multiple of 16."""
     hop = int(0.01 * sample_rate)
-    t = -(-crop_size // hop)
+    t = 1 + crop_size // hop
     return ((t + 15) // 16) * 16
 
 
@@ -89,7 +91,17 @@ class SpiralPretrainRunner:
         self.accum = max(1, getattr(cfg.trainer, "accumulate_grad_batches", 1))
 
         aug = None
-        if m.train_ds.noise_manifest:
+        noise_cfg = getattr(m, "noise_perturb", None)
+        if noise_cfg is not None and noise_cfg.manifest_path:
+            # reference multi-condition recipe (NoisePerturbConfig,
+            # spiral_base_pretrain_ls960_noise.py:214-223)
+            aug = AudioAugmentor([(1.0, RandomNoisePerturbation(
+                noise_cfg.manifest_path,
+                min_snr_db=noise_cfg.min_snr_db,
+                max_snr_db=noise_cfg.max_snr_db,
+                ratio=noise_cfg.ratio,
+            ))])
+        elif m.train_ds.noise_manifest:
             aug = AudioAugmentor(
                 [(1.0, RandomNoisePerturbation(m.train_ds.noise_manifest))]
             )
@@ -240,8 +252,13 @@ class SpiralFinetuneRunner:
 
         from tpu_speech.text.tokenizers import BlankOffsetTokenizer
 
-        # reserve id 0 for the CTC blank (blank_pos='vocab_first')
-        self.tokenizer = tokenizer = BlankOffsetTokenizer(tokenizer)
+        dec_cfg0 = getattr(m, "decoder", None)
+        if dec_cfg0 is None or dec_cfg0.blank_pos == "vocab_first":
+            # reserve id 0 for the CTC blank (blank_pos='vocab_first')
+            self.tokenizer = tokenizer = BlankOffsetTokenizer(tokenizer)
+        else:
+            # 'after_vocab_last': blank appended past the vocab, ids unshifted
+            self.tokenizer = tokenizer
 
         sr = m.train_ds.sample_rate
         max_samples = int((m.train_ds.max_duration or 24.0) * sr)
@@ -260,8 +277,16 @@ class SpiralFinetuneRunner:
             num_shards=distributed.process_count(),
         )
 
+        dec_cfg = getattr(m, "decoder", None)
+        blank_pos = dec_cfg.blank_pos if dec_cfg is not None else "vocab_first"
+        dec_kw = {}
+        if dec_cfg is not None:
+            if dec_cfg.conv_layers is not None:
+                dec_kw["decoder_convs"] = tuple(dec_cfg.conv_layers)
+            dec_kw["upsample_rate"] = dec_cfg.upsample_rate
+            dec_kw["upsample_filters"] = dec_cfg.upsample_filters
         self.model = CTCFinetuneModel(
-            self.enc_cfg, tokenizer.vocab_size, "vocab_first"
+            self.enc_cfg, tokenizer.vocab_size, blank_pos, **dec_kw
         )
         spec_len = _spec_len(max_samples, sr)
         specs = jnp.zeros((1, spec_len, self.enc_cfg.num_features))

@@ -77,6 +77,30 @@ class AudioDatasetConfig:
 
 
 @dataclasses.dataclass
+class DecoderConfig:
+    """ConvASRDecoder layout (reference ConvASRDecoderConfig,
+    modules/conv_asr.py:214-360): conv stack + 1x1 vocab projection, with the
+    char recipes adding 4x ProjUpsampling and an appended blank."""
+    conv_layers: Any = None          # Tuple[ConvLayerCfg, ...]; None = default
+    upsample_rate: Optional[int] = None
+    upsample_filters: int = 512
+    blank_pos: str = "vocab_first"   # or 'after_vocab_last'
+
+
+@dataclasses.dataclass
+class NoisePerturbConfig:
+    """RandomNoisePerturbation recipe knobs (reference NoisePerturbConfig,
+    spiral_base_pretrain_ls960_noise.py:214-223). manifest_path: JSON-lines
+    noise manifest(s) (the reference uses a csv; format differs, role same)."""
+    manifest_path: str = ""
+    min_snr_db: float = 0.0
+    max_snr_db: float = 30.0
+    ratio: float = 0.5
+    target_sr: int = 16000
+    cache_noise: bool = True
+
+
+@dataclasses.dataclass
 class TrainerConfig:
     devices: int = -1  # -1: all visible
     max_epochs: int = 100
@@ -105,6 +129,8 @@ class SpiralModelConfig:
     logit_temp: float = 0.3
     labels: Optional[Sequence[str]] = None
     tokenizer_file: Optional[str] = None
+    decoder: Optional[DecoderConfig] = None
+    noise_perturb: Optional[NoisePerturbConfig] = None
     freeze_finetune_updates: int = 0
     pretrain_chkpt_path: Optional[str] = None
     use_teacher_encoder: bool = False
