@@ -148,6 +148,8 @@ def main(argv=None):
             f"TEST: WER = {results['wer']:.4f} | CER = {results['cer']:.4f} "
             f"| {results['n']} utts"
         )
+        if results.get("diagnosis_html"):
+            print(f"per-utterance diagnosis: {results['diagnosis_html']}")
         return
 
     for epoch in range(1, cfg.trainer.max_epochs + 1):

@@ -1,0 +1,72 @@
+"""End-to-end run_spiral.py CLI: pretrain writes the exp-manager artifacts
+and a resumable checkpoint; test mode writes the WER number and the
+per-utterance HTML diagnosis (reference spiral_pretrain.py:95-190 +
+compute_wer.analyze)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+sys.path.insert(0, os.path.join(REPO, "cli"))
+
+from tpu_speech.data.wav import write_wav
+
+SR = 16000
+
+
+def _make_corpus(root, n=40):
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(0)
+    entries = []
+    words = ["hello", "world", "speech", "test", "audio"]
+    for i in range(n):
+        wav = (rng.standard_normal(int(SR * 0.6)) * 0.1).astype(np.float32)
+        p = os.path.join(root, f"utt{i}.wav")
+        write_wav(p, wav, SR)
+        entries.append({
+            "audio_filepath": p, "duration": 0.6,
+            "text": " ".join(rng.choice(words, size=3)),
+        })
+    mpath = os.path.join(root, "manifest.json")
+    with open(mpath, "w") as f:
+        for e in entries:
+            f.write(json.dumps(e) + "\n")
+    return mpath
+
+
+@pytest.mark.slow
+def test_run_spiral_pretrain_and_test_mode(tmp_path):
+    import run_spiral
+
+    data = str(tmp_path / "data")
+    _make_corpus(data)
+    logs_pre = str(tmp_path / "logs_pre")
+    run_spiral.main([
+        "--config_name=spiral_tiny_test",
+        "--manifest_dir", data,
+        "--model_save_dir", logs_pre,
+        "--model_type=st2vec",
+        "--max_epochs=1",
+    ])
+    assert os.path.isdir(os.path.join(logs_pre, "ckpt"))
+    assert os.path.exists(os.path.join(logs_pre, "env.json"))
+    assert os.path.exists(os.path.join(logs_pre, "config.json"))
+    assert os.path.exists(os.path.join(logs_pre, "train.log"))
+
+    logs_ft = str(tmp_path / "logs_ft")
+    run_spiral.main([
+        "--config_name=spiral_tiny_test",
+        "--manifest_dir", data,
+        "--model_save_dir", logs_ft,
+        "--model_type=ctc_finetune",
+        "--run_mode=test",
+        "--resume_if_exists=false",
+    ])
+    html = os.path.join(logs_ft, "wer_diagnosis.html")
+    assert os.path.exists(html)
+    content = open(html).read()
+    assert "WER =" in content and "<table>" in content

@@ -25,7 +25,7 @@ from tpu_speech.data.spiral import (
     AudioToTextDataset,
     RandomNoisePerturbation,
 )
-from tpu_speech.eval.wer import ctc_greedy_decode, word_error_rate
+from tpu_speech.eval.wer import ctc_greedy_decode, render_wer_html, word_error_rate
 from tpu_speech.models.spiral.ctc import (
     CTCFinetuneModel,
     CTCTrainState,
@@ -105,23 +105,47 @@ class SpiralPretrainRunner:
             aug = AudioAugmentor(
                 [(1.0, RandomNoisePerturbation(m.train_ds.noise_manifest))]
             )
-        self.dataset = AudioDataset(
-            m.train_ds.manifest_filepath, m.train_ds.sample_rate,
-            m.train_ds.crop_size, m.train_ds.min_duration,
-            m.train_ds.max_duration, augmentor=aug, return_both=True,
-        )
         self.collate = AudioBatchCollate(m.train_ds.crop_size)
         # ds.batch_size is per-device (reference per-GPU semantics,
         # spiral_base_pretrain_ls960.py:173); the loader yields this
         # process's share of the global batch.
         local_batch = m.train_ds.batch_size * jax.local_device_count()
         local_batch = min(local_batch, m.train_ds.batch_size * n_data)
-        self.loader = DataLoader(
-            self.dataset, local_batch, self.collate,
-            shuffle=m.train_ds.shuffle, num_workers=m.train_ds.num_workers,
-            shard_id=distributed.process_index(),
-            num_shards=distributed.process_count(),
-        )
+        if getattr(m.train_ds, "tarred_audio_filepaths", None):
+            from tpu_speech.data.spiral import TarredAudioDataset
+
+            self.dataset = TarredAudioDataset(
+                m.train_ds.manifest_filepath,
+                m.train_ds.tarred_audio_filepaths,
+                m.train_ds.sample_rate, m.train_ds.crop_size,
+                m.train_ds.min_duration, m.train_ds.max_duration,
+                augmentor=aug, return_both=True,
+                shuffle_n=getattr(m.train_ds, "shuffle_n", 0),
+                shard_id=distributed.process_index(),
+                num_shards=distributed.process_count(),
+            )
+            dataset, collate, bs = self.dataset, self.collate, local_batch
+
+            class _TarLoader:
+                def __iter__(self):
+                    return dataset.iter_batches(bs, collate)
+
+                def __len__(self):
+                    return len(dataset) // bs
+
+            self.loader = _TarLoader()
+        else:
+            self.dataset = AudioDataset(
+                m.train_ds.manifest_filepath, m.train_ds.sample_rate,
+                m.train_ds.crop_size, m.train_ds.min_duration,
+                m.train_ds.max_duration, augmentor=aug, return_both=True,
+            )
+            self.loader = DataLoader(
+                self.dataset, local_batch, self.collate,
+                shuffle=m.train_ds.shuffle, num_workers=m.train_ds.num_workers,
+                shard_id=distributed.process_index(),
+                num_shards=distributed.process_count(),
+            )
         self.spec_len = _spec_len(m.train_ds.crop_size, m.train_ds.sample_rate)
 
         self.model = ST2VecEncoder(self.enc_cfg)
@@ -408,4 +432,12 @@ class SpiralFinetuneRunner:
                 )
         wer = word_error_rate(hyps, refs)
         cer = word_error_rate(hyps, refs, use_cer=True)
-        return {"wer": wer, "cer": cer, "n": len(hyps)}
+        results = {"wer": wer, "cer": cer, "n": len(hyps)}
+        if self.primary:
+            # per-utterance alignment diagnosis (compute_wer.py:24-73 /
+            # simple_wer_v2.write_html artifact)
+            html_path = os.path.join(self.log_dir, "wer_diagnosis.html")
+            stats = render_wer_html(hyps, refs, html_path)
+            results["diagnosis_html"] = html_path
+            results["ser"] = stats["ser"]
+        return results

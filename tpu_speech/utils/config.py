@@ -74,6 +74,10 @@ class AudioDatasetConfig:
     shuffle: bool = True
     num_workers: int = 4
     noise_manifest: Optional[str] = None
+    # tar-shard streaming variant (audio_to_text.py:798+); when set, the
+    # manifest provides metadata and audio streams from these tar files
+    tarred_audio_filepaths: Optional[str] = None
+    shuffle_n: int = 0
 
 
 @dataclasses.dataclass
