@@ -1,10 +1,20 @@
-"""Benchmark: Grad-TTS 10-step reverse-SDE inference RTF on one chip.
+"""Benchmark on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the BASELINE.md north-star target RTF = 0.02 on TPU v5e
-(reference measures RTF the same way: wall_time * sample_rate / (frames * hop),
-Grad-TTS/inference.py:79). vs_baseline = target_rtf / measured_rtf, so > 1.0
-means faster than the target.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
+headline metric — END-TO-END text -> waveform RTF with HiFi-GAN inside the
+same jit graph as the 10-step reverse-SDE (a strict superset of the
+reference's mel-only RTF formula, Grad-TTS/inference.py:79:
+wall_time * sample_rate / (frames * hop)). Baseline: the BASELINE.md
+north-star RTF target 0.02/chip; vs_baseline = target / measured (>1 is
+faster than target).
+
+`python bench.py --all` additionally reports (one JSON line each, to stderr
+conventions aside — all lines go to stdout, the driver keys on the first):
+  - gradtts_rtf_10step: mel-only RTF (round-1 headline, for continuity)
+  - spiral_step_ms_fp32 / spiral_step_ms_bf16: SPIRAL-base pretraining step
+    time at the reference operating point (batch 24/chip, 250k-sample crops,
+    spiral_base_pretrain_ls960.py:173,178) vs the BASELINE target of 1.1x
+    an A100 step (~800 ms class -> target 880 ms).
 """
 
 import json
@@ -18,6 +28,7 @@ import numpy as np
 sys.path.insert(0, ".")
 
 from tpu_speech.models.grad_tts import GradTTS, synthesize  # noqa: E402
+from tpu_speech.models.hifigan import Generator  # noqa: E402
 from tpu_speech.text import intersperse, symbols, text_to_sequence  # noqa: E402
 
 SAMPLE_RATE = 22050
@@ -25,6 +36,8 @@ HOP = 256
 BUCKET = 384  # mel-frame bucket (~4.5 s of speech)
 N_STEPS = 10
 TARGET_RTF = 0.02
+# SPIRAL-base A100 step-time class at B=24/GPU; BASELINE.md asks <= 1.1x
+SPIRAL_TARGET_MS = 880.0
 
 TEXT = (
     "The quick brown fox jumps over the lazy dog while the curious cat "
@@ -32,7 +45,19 @@ TEXT = (
 )
 
 
-def main():
+def _median_time(fn, *args, n=10):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)), out
+
+
+def bench_tts(e2e: bool):
     model = GradTTS(n_vocab=len(symbols) + 1)
     seq = intersperse(text_to_sequence(TEXT, ["english_cleaners"]), len(symbols))
     x = jnp.asarray(np.array([seq], dtype=np.int32))
@@ -44,38 +69,141 @@ def main():
         {"params": jax.random.PRNGKey(0)}, x, xl, y, yl,
         jax.random.PRNGKey(1), train=False,
     )
-
-    @jax.jit
-    def synth(p, x, xl, rng):
-        return synthesize(
-            model, p, x, xl, n_timesteps=N_STEPS, y_max_length=BUCKET,
-            temperature=1.5, length_scale=0.91, rng=rng,
+    if e2e:
+        voc = Generator()
+        voc_params = jax.jit(voc.init)(
+            jax.random.PRNGKey(2), jnp.zeros((1, BUCKET, 80))
         )
 
-    # warmup/compile
-    _, dec, _, ylen = synth(params, x, xl, jax.random.PRNGKey(0))
-    dec.block_until_ready()
+        @jax.jit
+        def synth(p, vp, x, xl, rng):
+            _, dec, _, ylen = synthesize(
+                model, p, x, xl, n_timesteps=N_STEPS, y_max_length=BUCKET,
+                temperature=1.5, length_scale=0.91, rng=rng,
+            )
+            wav = voc.apply(vp, dec)
+            return wav, ylen
 
-    times = []
-    for i in range(10):
-        t0 = time.perf_counter()
-        _, dec, _, ylen = synth(params, x, xl, jax.random.PRNGKey(i))
-        dec.block_until_ready()
-        times.append(time.perf_counter() - t0)
-
-    t = float(np.median(times))
-    n_frames = int(ylen[0])
-    rtf = t * SAMPLE_RATE / (n_frames * HOP)
-    print(
-        json.dumps(
-            {
-                "metric": "gradtts_rtf_10step",
-                "value": round(rtf, 6),
-                "unit": "rtf",
-                "vs_baseline": round(TARGET_RTF / rtf, 3),
-            }
+        t, (_, ylen) = _median_time(
+            synth, params, voc_params, x, xl, jax.random.PRNGKey(0)
         )
+    else:
+        @jax.jit
+        def synth(p, x, xl, rng):
+            _, dec, _, ylen = synthesize(
+                model, p, x, xl, n_timesteps=N_STEPS, y_max_length=BUCKET,
+                temperature=1.5, length_scale=0.91, rng=rng,
+            )
+            return dec, ylen
+
+        t, (_, ylen) = _median_time(synth, params, x, xl, jax.random.PRNGKey(0))
+    n_frames = int(jax.device_get(ylen)[0])
+    return t * SAMPLE_RATE / (n_frames * HOP)
+
+
+def bench_spiral_step(bf16: bool, batch_size: int = 24, crop: int = 250000):
+    import optax
+
+    from tpu_speech.models.spiral.st2vec import ST2VecEncoder, spiral_base_config
+    from tpu_speech.train.spiral import (
+        host_augment_batch,
+        init_spiral_state,
+        make_pretrain_step,
     )
+    from tpu_speech.train.spiral_runner import _spec_len
+
+    cfg = spiral_base_config()
+    model = ST2VecEncoder(cfg)
+    tx = optax.adamw(3e-3, b1=0.9, b2=0.98, eps=1e-6, weight_decay=0.01)
+    spec_len = _spec_len(crop, cfg.sample_rate)
+    rng = np.random.default_rng(0)
+    wavs = (rng.standard_normal((batch_size, crop)) * 0.1).astype(np.float32)
+    lens = np.full((batch_size,), crop, dtype=np.int32)
+    batch = host_augment_batch(
+        cfg, wavs, lens, wavs.copy(), lens.copy(), spec_len,
+        np.random.default_rng(1),
+    )
+    batch = jax.tree.map(jnp.asarray, batch)
+    state = init_spiral_state(
+        model, jax.random.PRNGKey(0),
+        (batch_size, spec_len, cfg.num_features), tx,
+    )
+    step = make_pretrain_step(model, cfg, tx, bf16=bf16)
+    # donated state: time by chaining states
+    state, m = step(state, batch, jax.random.PRNGKey(0))
+    jax.block_until_ready(m["loss"])
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+        jax.block_until_ready(m["loss"])
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)) * 1e3
+
+
+def emit(metric, value, unit, vs_baseline):
+    print(json.dumps({
+        "metric": metric, "value": round(value, 6), "unit": unit,
+        "vs_baseline": round(vs_baseline, 3),
+    }), flush=True)
+
+
+def run_one(metric: str):
+    if metric == "gradtts_e2e_wav_rtf_10step":
+        rtf = bench_tts(e2e=True)
+        emit(metric, rtf, "rtf", TARGET_RTF / rtf)
+    elif metric == "gradtts_rtf_10step":
+        rtf = bench_tts(e2e=False)
+        emit(metric, rtf, "rtf", TARGET_RTF / rtf)
+    elif metric == "spiral_step_ms_fp32":
+        ms = bench_spiral_step(bf16=False)
+        emit(metric, ms, "ms/step", SPIRAL_TARGET_MS / ms)
+    elif metric == "spiral_step_ms_bf16":
+        ms = bench_spiral_step(bf16=True)
+        emit(metric, ms, "ms/step", SPIRAL_TARGET_MS / ms)
+    else:
+        raise SystemExit(f"unknown metric {metric}")
+
+
+ALL_METRICS = (
+    "gradtts_e2e_wav_rtf_10step",
+    "gradtts_rtf_10step",
+    "spiral_step_ms_fp32",
+    "spiral_step_ms_bf16",
+)
+
+
+def main():
+    for a in sys.argv[1:]:
+        if a.startswith("--metric="):
+            run_one(a.split("=", 1)[1])
+            return
+    if "--all" in sys.argv:
+        # one subprocess per metric: measurements are first-in-process, so a
+        # prior benchmark's compiled executables / tunnel state can't skew
+        # the timing (observed: second-in-process timings degrade ~100x)
+        import os
+        import subprocess
+
+        for m in ALL_METRICS:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), f"--metric={m}"],
+                capture_output=True, text=True, timeout=1200,
+            )
+            line = next(
+                (ln for ln in proc.stdout.splitlines()
+                 if ln.startswith("{")), None,
+            )
+            if proc.returncode == 0 and line:
+                print(line, flush=True)
+            else:
+                print(json.dumps({
+                    "metric": m,
+                    "error": (proc.stderr or proc.stdout)[-200:],
+                }), flush=True)
+        return
+    # default (driver contract): ONE line, the headline metric
+    run_one("gradtts_e2e_wav_rtf_10step")
 
 
 if __name__ == "__main__":

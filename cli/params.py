@@ -48,6 +48,7 @@ batch_size = 16
 learning_rate = 1e-4
 seed = 37
 save_every = 1
+precision = "fp32"  # 'bf16' runs the network fwd/bwd in bfloat16 (MXU-native)
 out_size = fix_len_compatibility(2 * 22050 // 256)
 
 # inference parameters

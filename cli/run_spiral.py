@@ -48,6 +48,9 @@ def main(argv=None):
     parser.add_argument("--finetune_from_scratch", type=str2bool, default=False)
     parser.add_argument("--use_teacher_encoder", type=str2bool, default=False)
     parser.add_argument("--save_logits", type=str2bool, default=False)
+    parser.add_argument("--export_model", type=str, default="",
+                        help="in test mode, also serialize the inference "
+                        "graph as StableHLO to this path")
     parser.add_argument("--tokenizer_file", type=str, default="")
     parser.add_argument("--max_epochs", type=int, default=0)
     args = parser.parse_args(args=argv)
@@ -117,6 +120,9 @@ def main(argv=None):
             print(f"Epoch {epoch}: loss = {loss:.4f}", flush=True)
             if cfg.trainer.max_steps and runner.iteration >= cfg.trainer.max_steps:
                 break
+        archive = runner.save_archive()
+        if archive:
+            print(f"saved model archive: {archive}")
         return
 
     # ctc_finetune
@@ -150,6 +156,8 @@ def main(argv=None):
         )
         if results.get("diagnosis_html"):
             print(f"per-utterance diagnosis: {results['diagnosis_html']}")
+        if args.export_model:
+            print(f"exported: {runner.export_model(args.export_model)}")
         return
 
     for epoch in range(1, cfg.trainer.max_epochs + 1):
@@ -157,6 +165,9 @@ def main(argv=None):
         print(f"Epoch {epoch}: ctc loss = {loss:.4f}", flush=True)
         if cfg.trainer.max_steps and runner.iteration >= cfg.trainer.max_steps:
             break
+    archive = runner.save_archive()
+    if archive:
+        print(f"saved model archive: {archive}")
 
 
 if __name__ == "__main__":

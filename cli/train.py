@@ -107,7 +107,9 @@ def main(multispeaker: bool = False):
     trainer = GradTTSTrainer(
         model, model_params, params.log_dir,
         learning_rate=params.learning_rate, out_size=params.out_size,
-        save_every=params.save_every, exp=exp, preview_batch=preview,
+        save_every=params.save_every,
+        bf16=(getattr(params, "precision", "fp32") == "bf16"),
+        exp=exp, preview_batch=preview,
     )
     if trainer.resume_if_exists():
         print(f"Resumed from iteration {trainer.iteration}")

@@ -56,6 +56,13 @@ def test_run_spiral_pretrain_and_test_mode(tmp_path):
     assert os.path.exists(os.path.join(logs_pre, "env.json"))
     assert os.path.exists(os.path.join(logs_pre, "config.json"))
     assert os.path.exists(os.path.join(logs_pre, "train.log"))
+    # .nemo-analog archive written at train end and restorable
+    from tpu_speech.utils.archive import load_archive
+
+    arch = os.path.join(logs_pre, "st2vec_tiny.tpu_speech")
+    assert os.path.exists(arch)
+    cfg_dict, params, extra = load_archive(arch)
+    assert "teacher" in extra and params
 
     logs_ft = str(tmp_path / "logs_ft")
     run_spiral.main([
@@ -70,3 +77,27 @@ def test_run_spiral_pretrain_and_test_mode(tmp_path):
     assert os.path.exists(html)
     content = open(html).read()
     assert "WER =" in content and "<table>" in content
+
+
+@pytest.mark.slow
+def test_run_spiral_export_model(tmp_path):
+    import run_spiral
+
+    from tpu_speech.utils.export import load_exported
+
+    data = str(tmp_path / "data")
+    _make_corpus(data, n=8)
+    logs = str(tmp_path / "logs")
+    exported = str(tmp_path / "model.stablehlo")
+    run_spiral.main([
+        "--config_name=spiral_tiny_test",
+        "--manifest_dir", data,
+        "--model_save_dir", logs,
+        "--model_type=ctc_finetune",
+        "--run_mode=test",
+        "--resume_if_exists=false",
+        "--export_model", exported,
+    ])
+    assert os.path.exists(exported)
+    art = load_exported(exported)
+    assert art is not None

@@ -24,6 +24,7 @@ from tpu_speech.models.spiral.conv_layers import ConvNormAct, ProjUpsampling, cr
 from tpu_speech.models.spiral.encoder import ConvLayerCfg
 from tpu_speech.models.spiral.masking import apply_mask, gaussian_mask_emb
 from tpu_speech.models.spiral.st2vec import ST2VecConfig, ST2VecEncoder, wav_to_spec
+from tpu_speech.utils.typing_contracts import typecheck
 
 
 class ConvASRDecoder(nn.Module):
@@ -108,6 +109,7 @@ class CTCFinetuneModel(nn.Module):
         return self.decoder(feats, feat_lens, train=train)
 
 
+@typecheck(log_probs="B T K", logit_lens="B", labels="B L", label_lens="B")
 def ctc_loss(log_probs, logit_lens, labels, label_lens, blank_idx: int):
     """Mean-over-batch CTC loss (losses/ctc.py:31-131 semantics)."""
     b, t, _ = log_probs.shape
@@ -133,18 +135,30 @@ class CTCTrainState:
 
 def make_finetune_step(model: CTCFinetuneModel, cfg: ST2VecConfig, tx,
                        freeze_finetune_updates: int = 0,
-                       accum_steps: int = 1):
+                       accum_steps: int = 1,
+                       bf16: bool = False):
     """accum_steps>1: trainer.accumulate_grad_batches — batch leaves arrive
     stacked [accum_steps, batch, ...] (parallel.mesh.shard_microbatches) and
-    are scanned in-graph, one optimizer update per call."""
+    are scanned in-graph, one optimizer update per call.
+
+    bf16=True runs the network forward/backward in bfloat16 (featurizer and
+    CTC loss stay float32; master params/optimizer fp32)."""
     mask_emb = jnp.asarray(gaussian_mask_emb(cfg.num_features))
 
     def loss_fn(params, batch_stats, batch, rng, freeze: bool):
+        if bf16:
+            params = jax.tree.map(
+                lambda p: p.astype(jnp.bfloat16)
+                if jnp.issubdtype(p.dtype, jnp.floating) else p,
+                params,
+            )
         rngs = {"dropout": jax.random.fold_in(rng, 0)}
         specs, spec_lens = wav_to_spec(
             cfg, batch["wavs"], batch["wav_lens"], training=True,
             rng=jax.random.fold_in(rng, 1),
         )
+        if bf16:
+            specs = specs.astype(jnp.bfloat16)
         # spec-masking as a SpecAugment-style regularizer (ctc_finetune.py:394-424)
         if "time_mask" in batch:
             specs = apply_mask(
@@ -156,8 +170,8 @@ def make_finetune_step(model: CTCFinetuneModel, cfg: ST2VecConfig, tx,
             rngs=rngs, mutable=["batch_stats"],
         )
         loss = ctc_loss(
-            log_probs, logit_lens, batch["labels"], batch["label_lens"],
-            model.blank_idx,
+            log_probs.astype(jnp.float32), logit_lens,
+            batch["labels"], batch["label_lens"], model.blank_idx,
         )
         return loss, new_state.get("batch_stats", batch_stats)
 

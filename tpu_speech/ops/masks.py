@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from tpu_speech.utils.typing_contracts import typecheck
+
 
 def sequence_mask(lengths: jnp.ndarray, max_length: int) -> jnp.ndarray:
     """Boolean mask (B, T): True where position < length.
@@ -25,6 +27,7 @@ def fix_len_compatibility(length: int, num_downsamplings_in_unet: int = 2) -> in
     return ((length + factor - 1) // factor) * factor
 
 
+@typecheck(duration="B Tx", mask="B Tx Ty")
 def generate_path(duration: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Expand durations into a binary monotone alignment path.
 

@@ -18,9 +18,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from tpu_speech.utils.typing_contracts import typecheck
+
 MAX_NEG = -1e9
 
 
+@typecheck(value="B Tx Ty", mask="B Tx Ty")
 def maximum_path(value: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Most-likely monotone alignment path.
 

@@ -27,13 +27,26 @@ from tpu_speech.utils.checkpoint import Checkpointer
 
 
 def make_train_step(model: GradTTS, tx: optax.GradientTransformation,
-                    out_size: Optional[int]):
-    """Returns jitted step(state, batch, rng) -> (state, metrics)."""
+                    out_size: Optional[int], bf16: bool = False):
+    """Returns jitted step(state, batch, rng) -> (state, metrics).
+
+    bf16=True casts params + mel targets to bfloat16 for the network
+    forward/backward (master params, optimizer state, and updates stay
+    float32 — standard TPU mixed precision; same scheme as the SPIRAL
+    pretrain step)."""
 
     def loss_fn(params, batch, rng):
+        y = batch["y"]
+        if bf16:
+            params = jax.tree.map(
+                lambda p: p.astype(jnp.bfloat16)
+                if jnp.issubdtype(p.dtype, jnp.floating) else p,
+                params,
+            )
+            y = y.astype(jnp.bfloat16)
         dur_loss, prior_loss, diff_loss = model.apply(
             {"params": params},
-            batch["x"], batch["x_lengths"], batch["y"], batch["y_lengths"],
+            batch["x"], batch["x_lengths"], y, batch["y_lengths"],
             rng,
             spk=batch.get("spk"),
             out_size=out_size,
@@ -41,7 +54,7 @@ def make_train_step(model: GradTTS, tx: optax.GradientTransformation,
             rngs={"dropout": jax.random.fold_in(rng, 7)},
         )
         loss = dur_loss + prior_loss + diff_loss
-        return loss, (dur_loss, prior_loss, diff_loss)
+        return loss.astype(jnp.float32), (dur_loss, prior_loss, diff_loss)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rng):
@@ -83,6 +96,7 @@ class GradTTSTrainer:
         out_size: Optional[int] = None,
         mesh=None,
         save_every: int = 1,
+        bf16: bool = False,
         exp=None,
         preview_batch=None,
         preview_timesteps: int = 50,
@@ -103,7 +117,7 @@ class GradTTSTrainer:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.state = TrainState.create({"params": params["params"]}, self.tx)
         self.state = replicate(self.mesh, self.state)
-        self.train_step = make_train_step(model, self.tx, out_size)
+        self.train_step = make_train_step(model, self.tx, out_size, bf16=bf16)
         self.ckpt = Checkpointer(os.path.join(log_dir, "ckpt"))
         self.save_every = save_every
         if exp is not None:

@@ -74,6 +74,18 @@ def _spec_len(crop_size: int, sample_rate: int) -> int:
     return ((t + 15) // 16) * 16
 
 
+
+def _save_run_archive(log_dir: str, name: str, cfg, params,
+                      extra=None) -> str:
+    """Write the `.nemo`-analog archive at train end (NeMoModelCheckpoint's
+    optional .nemo save, utils/exp_manager.py:552-604)."""
+    from tpu_speech.utils.archive import save_archive
+
+    path = os.path.join(log_dir, f"{name}.tpu_speech")
+    save_archive(path, cfg, params, extra=extra)
+    return path
+
+
 class SpiralPretrainRunner:
     def __init__(self, cfg, log_dir: str, exp=None):
         self.cfg = cfg
@@ -194,6 +206,15 @@ class SpiralPretrainRunner:
         self.state = replicate(self.mesh, restored)
         self.iteration = int(restored.step)
         return True
+
+    def save_archive(self) -> Optional[str]:
+        if not self.primary:
+            return None
+        state = jax.device_get(self.state)
+        return _save_run_archive(
+            self.log_dir, self.cfg.name or "st2vec", self.cfg,
+            state.params, extra={"teacher": state.teacher},
+        )
 
     def _augment(self, raw, micro_idx: int = 0):
         # shift scalars seeded by (global step, micro index) so all processes
@@ -342,6 +363,7 @@ class SpiralFinetuneRunner:
         self.step_fn = make_finetune_step(
             self.model, self.enc_cfg, self.tx, m.freeze_finetune_updates,
             accum_steps=self.accum,
+            bf16=(getattr(m, 'precision', 'fp32') == 'bf16'),
         )
         self.ckpt = Checkpointer(os.path.join(log_dir, "ckpt"))
         self.iteration = 0
@@ -363,6 +385,15 @@ class SpiralFinetuneRunner:
         self.state = replicate(self.mesh, restored)
         self.iteration = int(restored.step)
         return True
+
+    def save_archive(self) -> Optional[str]:
+        if not self.primary:
+            return None
+        state = jax.device_get(self.state)
+        return _save_run_archive(
+            self.log_dir, self.cfg.name or "ctc_finetune", self.cfg,
+            state.params,
+        )
 
     def train_epoch(self, epoch: int):
         losses = []
@@ -388,6 +419,29 @@ class SpiralFinetuneRunner:
                 f.write(f"Epoch {epoch}: ctc loss = {np.mean(losses):.4f}\n")
             self.ckpt.save(self.iteration, jax.device_get(self.state))
         return float(np.mean(losses)) if losses else float("nan")
+
+    def export_model(self, path: str, n_samples: Optional[int] = None) -> str:
+        """Serialize the wav->log-probs inference graph as a portable
+        StableHLO artifact (the reference Exportable's ONNX export analog,
+        core/classes/exportable.py)."""
+        from tpu_speech.utils.export import export_fn
+
+        n = n_samples or self.max_samples
+
+        def infer(params, batch_stats, wavs, wav_lens):
+            specs, spec_lens = wav_to_spec(self.enc_cfg, wavs, wav_lens)
+            return self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                specs, spec_lens, train=False,
+            )
+
+        state = jax.device_get(self.state)
+        example = (
+            state.params, state.batch_stats,
+            jnp.zeros((1, n), jnp.float32), jnp.full((1,), n, jnp.int32),
+        )
+        export_fn(infer, example, path)
+        return path
 
     def evaluate(self, manifest: Optional[str] = None, save_logits_dir=None):
         """Test-mode WER (spiral_pretrain.py:140-190)."""
