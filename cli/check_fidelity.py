@@ -1,0 +1,173 @@
+"""Full-config Grad-TTS fidelity gate vs the reference PyTorch code.
+
+Runs the production 80-mel configuration (cli/params.py) through BOTH
+implementations with converted weights and identical inputs/noise, on
+whatever device JAX selects (the real TPU chip when run normally), and
+checks mel MAE < 1e-3 (BASELINE.md target):
+
+  1. deterministic prior path: text -> TextEncoder -> durations ->
+     generate_path -> mu_y  (reference tts.py:51-91)
+  2. full 10-step reverse-SDE from the SAME z  (reference diffusion.py:254-275)
+
+Requires the reference checkout at /root/reference (imports its torch model
+as the oracle — dev-environment tool, not a production dependency).
+
+Usage: python cli/check_fidelity.py [--steps 10]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "tests"
+))
+
+import numpy as np
+
+import params
+from tpu_speech.text import intersperse, symbols, text_to_sequence
+
+TEXT = "Here are the match lineups for the Colombia Haiti match."
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--tol", type=float, default=1e-3)
+    args = ap.parse_args()
+
+    import torch
+
+    from reference_oracle import load_gradtts_reference
+
+    ref = load_gradtts_reference()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_speech.compat.torch_gradtts import convert_gradtts
+    from tpu_speech.models.diffusion import reverse_diffusion
+    from tpu_speech.models.grad_tts import GradTTS
+    from tpu_speech.ops.masks import generate_path, sequence_mask
+
+    print(f"jax devices: {jax.devices()}", flush=True)
+    n_vocab = len(symbols) + 1 if params.add_blank else len(symbols)
+    cfg = dict(
+        n_vocab=n_vocab, n_spks=1, spk_emb_dim=params.spk_emb_dim,
+        n_enc_channels=params.n_enc_channels,
+        filter_channels=params.filter_channels,
+        filter_channels_dp=params.filter_channels_dp,
+        n_heads=params.n_heads, n_enc_layers=params.n_enc_layers,
+        enc_kernel=params.enc_kernel, enc_dropout=params.enc_dropout,
+        window_size=params.window_size, n_feats=params.n_feats,
+        dec_dim=params.dec_dim, beta_min=params.beta_min,
+        beta_max=params.beta_max, pe_scale=params.pe_scale,
+    )
+    torch.manual_seed(0)
+    tm = ref.GradTTS(*[cfg[k] for k in (
+        "n_vocab", "n_spks", "spk_emb_dim", "n_enc_channels",
+        "filter_channels", "filter_channels_dp", "n_heads", "n_enc_layers",
+        "enc_kernel", "enc_dropout", "window_size", "n_feats", "dec_dim",
+        "beta_min", "beta_max", "pe_scale",
+    )])
+    tm.eval()
+    n_params = sum(p.numel() for p in tm.parameters()) / 1e6
+    print(f"model: {n_params:.2f}M params (reference prints 14.84M at "
+          "production config)", flush=True)
+
+    seq = intersperse(
+        text_to_sequence(TEXT, dictionary=None), len(symbols)
+    )
+    x = np.array([seq], dtype=np.int32)
+    xl = np.array([len(seq)], dtype=np.int32)
+
+    # ---- torch side: deterministic prior path + reverse SDE from fixed z
+    with torch.no_grad():
+        mu_x_t, logw_t, x_mask_t = tm.encoder(
+            torch.from_numpy(x).long(), torch.from_numpy(xl)
+        )
+        w = torch.exp(logw_t) * x_mask_t
+        w_ceil = torch.ceil(w)
+        y_lengths = torch.clamp_min(torch.sum(w_ceil, [1, 2]), 1).long()
+        y_max = int(y_lengths.max())
+        y_max_fixed = ((y_max + 3) // 4) * 4  # fix_len_compatibility
+        y_mask_t = (
+            torch.arange(y_max_fixed)[None, :] < y_lengths[:, None]
+        ).float()[:, None, :]
+        attn_mask = x_mask_t.unsqueeze(-1) * y_mask_t.unsqueeze(2)
+        from model.utils import generate_path as t_generate_path
+
+        attn_t = t_generate_path(
+            w_ceil.squeeze(1), attn_mask.squeeze(1)
+        ).unsqueeze(1)
+        mu_y_t = torch.matmul(
+            attn_t.squeeze(1).transpose(1, 2), mu_x_t.transpose(1, 2)
+        ).transpose(1, 2)
+
+        rng = np.random.default_rng(42)
+        noise = rng.standard_normal(mu_y_t.shape).astype(np.float32)
+        z_t = mu_y_t + torch.from_numpy(noise) / 1.5
+        dec_t = tm.decoder.reverse_diffusion(
+            z_t, y_mask_t, mu_y_t, args.steps, stoc=False
+        )
+
+    # ---- jax side: identical math on the selected device
+    jparams = convert_gradtts(
+        tm.state_dict(), n_enc_layers=cfg["n_enc_layers"]
+    )
+    model = GradTTS(**cfg)
+
+    @jax.jit
+    def prior_path(p, x, xl):
+        mu_x, logw, x_mask = model.apply(
+            {"params": p}, jnp.asarray(x), jnp.asarray(xl),
+            method=GradTTS.encode,
+        )
+        w = jnp.exp(logw) * x_mask
+        w_ceil = jnp.ceil(w)
+        y_lengths = jnp.maximum(jnp.sum(w_ceil, axis=1), 1).astype(jnp.int32)
+        return mu_x, w_ceil, x_mask, y_lengths
+
+    jp = jparams["params"] if "params" in jparams else jparams
+    # TPU matmuls default to bf16 multiplies (fp32 accumulate) — the fidelity
+    # gate checks numerics, so pin full-precision matmuls for this run
+    ctx = jax.default_matmul_precision("highest")
+    ctx.__enter__()
+    mu_x_j, w_ceil_j, x_mask_j, y_lengths_j = prior_path(jp, x, xl)
+    y_mask_j = sequence_mask(y_lengths_j, y_max_fixed).astype(jnp.float32)
+    attn_mask_j = x_mask_j[:, :, None] * y_mask_j[:, None, :]
+    attn_j = generate_path(w_ceil_j, attn_mask_j)
+    mu_y_j = jnp.einsum("bxy,bxf->byf", attn_j, mu_x_j)
+
+    d_mu = jnp.abs(mu_y_j - jnp.asarray(mu_y_t.numpy().transpose(0, 2, 1)))
+    mae_mu, max_mu = float(d_mu.mean()), float(d_mu.max())
+
+    def score_fn(xt, t):
+        return model.apply(
+            {"params": jp}, xt, y_mask_j, mu_y_j, t, None,
+            method=GradTTS.score,
+        )
+
+    z_j = mu_y_j + jnp.asarray(noise.transpose(0, 2, 1)) / 1.5
+    dec_j = reverse_diffusion(
+        score_fn,
+        z_j, y_mask_j, mu_y_j, args.steps,
+        cfg["beta_min"], cfg["beta_max"], stoc=False,
+    )
+    d_dec = jnp.abs(dec_j - jnp.asarray(dec_t.numpy().transpose(0, 2, 1)))
+    mae_dec, max_dec = float(d_dec.mean()), float(d_dec.max())
+
+    ctx.__exit__(None, None, None)
+    print(f"prior-path mu_y: MAE {mae_mu:.2e} | max {max_mu:.2e}")
+    print(f"{args.steps}-step reverse-SDE mel: MAE {mae_dec:.2e} "
+          f"| max {max_dec:.2e}")
+    # BASELINE.md gate: mel MAE < 1e-3 vs the PyTorch reference (fp32 tol)
+    ok = mae_mu < args.tol and mae_dec < args.tol
+    print(f"fidelity gate (mel MAE < {args.tol}): {'PASS' if ok else 'FAIL'}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

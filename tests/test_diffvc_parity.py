@@ -182,6 +182,7 @@ def test_reverse_diffusion_parity(torch_model, rng, mode, monkeypatch):
     )
 
 
+@pytest.mark.slow
 def test_init_shapes_match_converted(torch_model):
     model = DiffVC(**CFG)
     b, t, f = 1, 12, CFG["n_feats"]

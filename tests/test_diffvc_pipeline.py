@@ -125,6 +125,7 @@ TINY_ENC = dict(n_feats=8, channels=16, filters=32, heads=2, layers=1,
                 kernel=3, dropout=0.1, window_size=2, dim=8)
 
 
+@pytest.mark.slow
 def test_enc_train_step(vc_tree, rng):
     data_dir, n_mels = vc_tree
     model = FwdDiffusion(**TINY_ENC)
@@ -144,6 +145,7 @@ def test_enc_train_step(vc_tree, rng):
     assert int(state.step) == 1
 
 
+@pytest.mark.slow
 def test_dec_train_step_freezes_encoder(rng):
     model = DiffVC(n_feats=8, channels=16, filters=32, heads=2, layers=1,
                    kernel=3, dropout=0.1, window_size=2, enc_dim=8, spk_dim=16,

@@ -101,6 +101,7 @@ def _ctc_setup(b):
     return cfg, model, tx, variables, batch
 
 
+@pytest.mark.slow
 def test_grad_accumulation_matches_big_batch():
     """N micro-batches at accumulation N == one N*batch step (fp32, exact up
     to reduction order) — the contract accumulate_grad_batches promises."""
@@ -134,6 +135,7 @@ def test_grad_accumulation_matches_big_batch():
         np.testing.assert_allclose(a, b_, rtol=2e-5, atol=2e-7)
 
 
+@pytest.mark.slow
 def test_pretrain_accum_smoke():
     """Pretrain step with accum_steps=2: one EMA/optimizer update, finite loss."""
     cfg = dataclasses.replace(TINY_CFG, dither=0.0)

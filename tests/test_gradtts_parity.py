@@ -174,6 +174,7 @@ def test_param_counts_match(torch_model, jax_model):
     assert n_jax == n_torch
 
 
+@pytest.mark.slow
 def test_init_shapes_match_converted(torch_model, jax_model):
     """Our randomly initialized tree has identical structure/shapes to the
     converted reference tree -> checkpoints are interchangeable."""
@@ -209,6 +210,7 @@ def torch_model_ms(ref):
     return m
 
 
+@pytest.mark.slow
 def test_multispeaker_parity(torch_model_ms, rng):
     """Speaker-conditioned path: spk embedding -> encoder concat + estimator
     extra channel (tts.py:70-72, diffusion.py:139-146, 174-185)."""

@@ -85,6 +85,7 @@ def test_generator_weightnorm_fold(torch_gen, rng):
     np.testing.assert_allclose(np.asarray(wav_j), wav_t[:, 0, :], atol=2e-5)
 
 
+@pytest.mark.slow
 def test_discriminators_and_losses_smoke(rng):
     y = jnp.asarray(rng.standard_normal((2, 2048)).astype(np.float32))
     y_hat = jnp.asarray(rng.standard_normal((2, 2048)).astype(np.float32))

@@ -37,6 +37,7 @@ def _tiny_gradtts():
     return model, params
 
 
+@pytest.mark.slow
 def test_gradtts_trainer_epoch_produces_artifacts(tmp_path):
     model, params = _tiny_gradtts()
     exp = ExpManager(name="tts", base_dir=str(tmp_path))
@@ -70,6 +71,7 @@ def test_gradtts_trainer_epoch_produces_artifacts(tmp_path):
     assert trainer.timer.summary()["step"]["count"] >= 1
 
 
+@pytest.mark.slow
 def test_diffvc_dec_preview_logs_audio(tmp_path):
     import optax
 

@@ -122,6 +122,7 @@ def test_spiral_large_structure_no_alloc():
     assert cfg.target_momentum == 0.99 and cfg.target_momentum_final == 0.999
 
 
+@pytest.mark.slow
 def test_char_head_upsampling_step():
     """The char CTC head (4x ProjUpsampling + appended blank) runs a train
     step end to end on a tiny encoder."""

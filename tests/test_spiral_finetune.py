@@ -139,6 +139,7 @@ def test_audio_text_dataset(manifest_tree):
     assert (batch["label_lens"] == 11).all()
 
 
+@pytest.mark.slow
 def test_finetune_step_and_freeze(rng):
     tok = CharTokenizer()
     model = CTCFinetuneModel(

@@ -188,6 +188,7 @@ def test_pretrain_step_end_to_end(rng):
     assert int(jax.device_get(state.step)) == 2
 
 
+@pytest.mark.slow
 def test_pretrain_step_bf16(rng):
     import optax
 

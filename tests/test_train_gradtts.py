@@ -45,6 +45,7 @@ def setup():
     return model, params, batch
 
 
+@pytest.mark.slow
 def test_dp_train_step(setup):
     model, params, batch = setup
     mesh = make_mesh()
@@ -63,6 +64,7 @@ def test_dp_train_step(setup):
     assert int(jax.device_get(state.step)) == 3
 
 
+@pytest.mark.slow
 def test_train_step_updates_params(setup):
     model, params, batch = setup
     mesh = make_mesh()
@@ -89,6 +91,7 @@ def test_checkpoint_roundtrip(setup, tmp_path):
     np.testing.assert_array_equal(a, np.asarray(b))
 
 
+@pytest.mark.slow
 def test_grad_allreduce_consistency(setup):
     """DP over 8 devices must give the same update as single-device compute."""
     model, params, batch = setup
