@@ -58,6 +58,10 @@ model = SpiralModelConfig(
         batch_size=2, crop_size=16000, shuffle=True, num_workers=2,
         max_duration=1.0,
     ),
+    validation_ds=AudioDatasetConfig(
+        manifest_filepath="manifest.json", sample_rate=sample_rate,
+        batch_size=2, shuffle=False, max_duration=1.0,
+    ),
     test_ds=AudioDatasetConfig(
         manifest_filepath="manifest.json", sample_rate=sample_rate,
         batch_size=2, shuffle=False, max_duration=1.0,
@@ -67,6 +71,7 @@ model = SpiralModelConfig(
 cfg = RunConfig(
     name=config_name,
     model=model,
-    trainer=TrainerConfig(max_epochs=1, max_steps=4),
+    trainer=TrainerConfig(max_epochs=1, max_steps=4,
+                          val_check_interval_epochs=1),
     exp_manager=ExpManagerConfig(name=config_name),
 )

@@ -115,9 +115,14 @@ def main(argv=None):
         runner = SpiralPretrainRunner(cfg, log_dir, exp=exp)
         if args.resume_if_exists and runner.resume_if_exists():
             print(f"Resumed from iteration {runner.iteration}")
+        val_every = max(1, getattr(cfg.trainer, "val_check_interval_epochs", 1))
         for epoch in range(1, cfg.trainer.max_epochs + 1):
             loss = runner.train_epoch(epoch)
             print(f"Epoch {epoch}: loss = {loss:.4f}", flush=True)
+            if epoch % val_every == 0:
+                val = runner.validate()
+                if val == val:  # not nan (validation_ds configured)
+                    print(f"Validation: loss = {val:.4f}", flush=True)
             if cfg.trainer.max_steps and runner.iteration >= cfg.trainer.max_steps:
                 break
         archive = runner.save_archive()
@@ -160,9 +165,17 @@ def main(argv=None):
             print(f"exported: {runner.export_model(args.export_model)}")
         return
 
+    val_every = max(1, getattr(cfg.trainer, "val_check_interval_epochs", 1))
     for epoch in range(1, cfg.trainer.max_epochs + 1):
         loss = runner.train_epoch(epoch)
         print(f"Epoch {epoch}: ctc loss = {loss:.4f}", flush=True)
+        if epoch % val_every == 0:
+            results = runner.validate()
+            if results:
+                print(
+                    f"Validation: WER = {results['wer']:.4f} | "
+                    f"CER = {results['cer']:.4f}", flush=True,
+                )
         if cfg.trainer.max_steps and runner.iteration >= cfg.trainer.max_steps:
             break
     archive = runner.save_archive()

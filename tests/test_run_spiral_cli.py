@@ -56,6 +56,8 @@ def test_run_spiral_pretrain_and_test_mode(tmp_path):
     assert os.path.exists(os.path.join(logs_pre, "env.json"))
     assert os.path.exists(os.path.join(logs_pre, "config.json"))
     assert os.path.exists(os.path.join(logs_pre, "train.log"))
+    log_text = open(os.path.join(logs_pre, "train.log")).read()
+    assert "Validation: loss =" in log_text  # validation loop ran
     # .nemo-analog archive written at train end and restorable
     from tpu_speech.utils.archive import load_archive
 
@@ -77,6 +79,38 @@ def test_run_spiral_pretrain_and_test_mode(tmp_path):
     assert os.path.exists(html)
     content = open(html).read()
     assert "WER =" in content and "<table>" in content
+
+
+@pytest.mark.slow
+def test_finetune_validate_and_transcribe(tmp_path):
+    """Runner-level validate() (val WER logging) and transcribe() utility
+    (ctc_finetune.py:135-170 / :440-460 roles)."""
+    import run_spiral  # noqa: F401  (ensures cli on path)
+    from importlib import import_module
+
+    from tpu_speech.text.tokenizers import CharTokenizer
+    from tpu_speech.train.spiral_runner import SpiralFinetuneRunner
+
+    data = str(tmp_path / "data")
+    mpath = _make_corpus(data, n=8)
+    cfg = import_module("conf.spiral.spiral_tiny_test").cfg
+    import copy
+
+    cfg = copy.deepcopy(cfg)
+    for ds in (cfg.model.train_ds, cfg.model.validation_ds, cfg.model.test_ds):
+        ds.manifest_filepath = mpath
+    runner = SpiralFinetuneRunner(
+        cfg, str(tmp_path / "logs"), CharTokenizer(cfg.model.labels)
+    )
+    results = runner.validate()
+    assert np.isfinite(results["wer"]) and results["n"] == 8
+    log_text = open(os.path.join(str(tmp_path / "logs"), "train.log")).read()
+    assert "Validation: WER =" in log_text
+
+    wavs = [os.path.join(data, f"utt{i}.wav") for i in range(3)]
+    texts = runner.transcribe(wavs, batch_size=2)
+    assert len(texts) == 3
+    assert all(isinstance(t, str) for t in texts)
 
 
 @pytest.mark.slow

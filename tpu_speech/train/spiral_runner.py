@@ -216,6 +216,109 @@ class SpiralPretrainRunner:
             state.params, extra={"teacher": state.teacher},
         )
 
+    def validate(self) -> float:
+        """Validation contrastive loss over validation_ds (the reference's
+        validation_step, st2vec_pretrain.py:119-132): same loss, mask=True,
+        no parameter/EMA update."""
+        m = self.cfg.model
+        ds_cfg = m.validation_ds
+        if ds_cfg is None:
+            return float("nan")
+        dataset = AudioDataset(
+            ds_cfg.manifest_filepath, ds_cfg.sample_rate,
+            m.train_ds.crop_size, ds_cfg.min_duration, ds_cfg.max_duration,
+            return_both=True,
+        )
+        loader = DataLoader(
+            dataset, ds_cfg.batch_size * jax.local_device_count(),
+            self.collate, shuffle=False, num_workers=ds_cfg.num_workers,
+            shard_id=distributed.process_index(),
+            num_shards=distributed.process_count(),
+        )
+        if self._val_fn is None:
+            model, cfg = self.model, self.enc_cfg
+            from tpu_speech.train.spiral import make_pretrain_step
+
+            # reuse the training loss via a no-update step: call loss only
+            import jax.numpy as _jnp
+
+            from tpu_speech.models.spiral.masking import (
+                apply_mask,
+                gaussian_mask_emb,
+            )
+            from tpu_speech.models.spiral.st2vec import (
+                contrastive_loss,
+                sample_negatives,
+                teacher_shift,
+                wav_to_spec,
+            )
+
+            emb = _jnp.asarray(gaussian_mask_emb(cfg.num_features))
+
+            @jax.jit
+            def val_loss(params, batch_stats, teacher, batch, rng):
+                t_specs, t_lens = wav_to_spec(
+                    cfg, batch["wavs"], batch["wav_lens"]
+                )
+                s_specs, s_lens = wav_to_spec(
+                    cfg, batch["p_wavs"], batch["p_wav_lens"]
+                )
+                t_specs_sh, t_lens_sh = teacher_shift(
+                    t_specs, t_lens, batch["shift_k"], batch["shift_r"],
+                    cfg.shift_unit, cfg.max_shift, emb,
+                )
+                teacher_params = dict(params)
+                teacher_params.update(teacher)
+                from tpu_speech.models.spiral.st2vec import ST2VecEncoder
+
+                targets, _ = model.apply(
+                    {"params": teacher_params, "batch_stats": batch_stats},
+                    t_specs_sh, t_lens_sh, train=False,
+                    method=ST2VecEncoder.encode_teacher,
+                )
+                tf_student = s_specs.shape[1] // cfg.shift_unit
+                targets = jax.lax.dynamic_slice_in_dim(
+                    targets, batch["shift_k"], tf_student, axis=1
+                )
+                s_specs_m = apply_mask(
+                    s_specs, batch["time_mask"], batch["chan_mask"], emb
+                )
+                (pred, feat_lens), _ = model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    s_specs_m, s_lens, train=False,
+                    method=ST2VecEncoder.encode_student,
+                    mutable=["batch_stats"],
+                )
+                valid = (
+                    _jnp.arange(pred.shape[1])[None, :] < feat_lens[:, None]
+                ).astype(pred.dtype)
+                negs = sample_negatives(rng, targets, feat_lens, cfg.n_negatives)
+                loss, acc = contrastive_loss(
+                    pred, targets, negs, valid, cfg.logit_temp
+                )
+                return loss, acc
+
+            self._val_fn = val_loss
+        losses = []
+        state = self.state
+        for raw in loader:
+            batch = self._augment(raw)
+            batch = shard_batch(self.mesh, batch)
+            loss, _acc = self._val_fn(
+                state.params, state.batch_stats, state.teacher, batch,
+                jax.random.PRNGKey(0),
+            )
+            losses.append(float(jax.device_get(loss)))
+        val = float(np.mean(losses)) if losses else float("nan")
+        if self.tb is not None:
+            self.tb.add_scalar("val/loss", val, self.iteration)
+        if self.primary:
+            with open(os.path.join(self.log_dir, "train.log"), "a") as f:
+                f.write(f"Validation: loss = {val:.4f}\n")
+        return val
+
+    _val_fn = None
+
     def _augment(self, raw, micro_idx: int = 0):
         # shift scalars seeded by (global step, micro index) so all processes
         # agree (they are replicated leaves of the global batch)
@@ -366,6 +469,17 @@ class SpiralFinetuneRunner:
             bf16=(getattr(m, 'precision', 'fp32') == 'bf16'),
         )
         self.ckpt = Checkpointer(os.path.join(log_dir, "ckpt"))
+        self.tb = None
+        if self.primary:
+            if exp is not None:
+                self.tb = exp.tb
+            else:
+                try:
+                    from tensorboardX import SummaryWriter
+
+                    self.tb = SummaryWriter(log_dir)
+                except Exception:
+                    self.tb = None
         self.iteration = 0
 
     @staticmethod
@@ -420,6 +534,68 @@ class SpiralFinetuneRunner:
             self.ckpt.save(self.iteration, jax.device_get(self.state))
         return float(np.mean(losses)) if losses else float("nan")
 
+    def validate(self) -> dict:
+        """Validation WER over validation_ds (the reference's
+        validation_step WER logging, ctc_finetune.py:440-460)."""
+        ds_cfg = self.cfg.model.validation_ds
+        if ds_cfg is None:
+            return {}
+        results = self.evaluate(manifest=ds_cfg.manifest_filepath)
+        if self.primary:
+            if self.tb is not None:
+                self.tb.add_scalar("val/wer", results["wer"], self.iteration)
+                self.tb.add_scalar("val/cer", results["cer"], self.iteration)
+            with open(os.path.join(self.log_dir, "train.log"), "a") as f:
+                f.write(
+                    f"Validation: WER = {results['wer']:.4f} | "
+                    f"CER = {results['cer']:.4f}\n"
+                )
+        return results
+
+    def transcribe(self, audio_paths, batch_size: int = 4):
+        """Greedy-decode a list of wav files -> texts (the reference's
+        CTCFinetuneModel.transcribe, ctc_finetune.py:135-170)."""
+        from tpu_speech.data.wav import read_wav
+
+        sr = self.cfg.model.train_ds.sample_rate
+        texts = []
+        for i in range(0, len(audio_paths), batch_size):
+            chunk = audio_paths[i : i + batch_size]
+            wavs, lens = [], []
+            for path in chunk:
+                wav, wav_sr = read_wav(path)
+                assert wav_sr == sr, (path, wav_sr)
+                wavs.append(wav[: self.max_samples])
+                lens.append(len(wavs[-1]))
+            padded = np.zeros((len(chunk), self.max_samples), np.float32)
+            for j, w in enumerate(wavs):
+                padded[j, : len(w)] = w
+            log_probs, out_lens = self._infer_fn()(
+                self.state.params, self.state.batch_stats,
+                jnp.asarray(padded), jnp.asarray(np.array(lens, np.int32)),
+            )
+            ids = ctc_greedy_decode(
+                np.asarray(log_probs), np.asarray(out_lens),
+                self.model.blank_idx,
+            )
+            texts.extend(self.tokenizer.ids_to_text(seq) for seq in ids)
+        return texts
+
+    _infer_cache = None
+
+    def _infer_fn(self):
+        if self._infer_cache is None:
+            @jax.jit
+            def infer(params, batch_stats, wavs, wav_lens):
+                specs, spec_lens = wav_to_spec(self.enc_cfg, wavs, wav_lens)
+                return self.model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    specs, spec_lens, train=False,
+                )
+
+            self._infer_cache = infer
+        return self._infer_cache
+
     def export_model(self, path: str, n_samples: Optional[int] = None) -> str:
         """Serialize the wav->log-probs inference graph as a portable
         StableHLO artifact (the reference Exportable's ONNX export analog,
@@ -458,13 +634,7 @@ class SpiralFinetuneRunner:
             drop_last=False, num_workers=ds_cfg.num_workers,
         )
 
-        @jax.jit
-        def infer(params, batch_stats, wavs, wav_lens):
-            specs, spec_lens = wav_to_spec(self.enc_cfg, wavs, wav_lens)
-            return self.model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                specs, spec_lens, train=False,
-            )
+        infer = self._infer_fn()
 
         hyps, refs = [], []
         for raw in loader:
