@@ -46,18 +46,31 @@ TEXT = (
 
 
 def _median_time(fn, *args, n=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    """Median wall time with a HARD host sync per call.
+
+    jax.block_until_ready does not synchronize on the tunneled single-chip
+    platform (it returns while the computation is still queued), so timing
+    must round-trip the outputs to the host via device_get — which is also
+    the honest end-to-end cost (the caller needs the audio on the host)."""
+    out = jax.device_get(fn(*args))
     times = []
     for _ in range(n):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        out = jax.device_get(fn(*args))
         times.append(time.perf_counter() - t0)
     return float(np.median(times)), out
 
 
+CHAIN = 8  # utterances synthesized sequentially inside ONE dispatch
+
+
 def bench_tts(e2e: bool):
+    """Per-utterance RTF from a chain of CHAIN sequential syntheses inside
+    one jit dispatch. The dev harness tunnels the chip over the network with
+    ~29 ms per dispatch+sync round trip — chaining amortizes that fixed
+    harness cost while still charging the full device compute and the
+    output transfer per utterance. (Single-dispatch latency on this harness
+    is per-utterance time + ~29 ms.)"""
     model = GradTTS(n_vocab=len(symbols) + 1)
     seq = intersperse(text_to_sequence(TEXT, ["english_cleaners"]), len(symbols))
     x = jnp.asarray(np.array([seq], dtype=np.int32))
@@ -76,29 +89,43 @@ def bench_tts(e2e: bool):
         )
 
         @jax.jit
-        def synth(p, vp, x, xl, rng):
-            _, dec, _, ylen = synthesize(
-                model, p, x, xl, n_timesteps=N_STEPS, y_max_length=BUCKET,
-                temperature=1.5, length_scale=0.91, rng=rng,
+        def synth_chain(p, vp, x, xl, rng):
+            def body(_, k):
+                _, dec, _, ylen = synthesize(
+                    model, p, x, xl, n_timesteps=N_STEPS,
+                    y_max_length=BUCKET, temperature=1.5, length_scale=0.91,
+                    rng=k,
+                )
+                return 0.0, (voc.apply(vp, dec), ylen)
+            _, (wavs, ylens) = jax.lax.scan(
+                body, 0.0, jax.random.split(rng, CHAIN)
             )
-            wav = voc.apply(vp, dec)
-            return wav, ylen
+            return wavs, ylens
 
-        t, (_, ylen) = _median_time(
-            synth, params, voc_params, x, xl, jax.random.PRNGKey(0)
+        t, (_, ylens) = _median_time(
+            synth_chain, params, voc_params, x, xl, jax.random.PRNGKey(0),
+            n=5,
         )
     else:
         @jax.jit
-        def synth(p, x, xl, rng):
-            _, dec, _, ylen = synthesize(
-                model, p, x, xl, n_timesteps=N_STEPS, y_max_length=BUCKET,
-                temperature=1.5, length_scale=0.91, rng=rng,
+        def synth_chain(p, x, xl, rng):
+            def body(_, k):
+                _, dec, _, ylen = synthesize(
+                    model, p, x, xl, n_timesteps=N_STEPS,
+                    y_max_length=BUCKET, temperature=1.5, length_scale=0.91,
+                    rng=k,
+                )
+                return 0.0, (dec, ylen)
+            _, (decs, ylens) = jax.lax.scan(
+                body, 0.0, jax.random.split(rng, CHAIN)
             )
-            return dec, ylen
+            return decs, ylens
 
-        t, (_, ylen) = _median_time(synth, params, x, xl, jax.random.PRNGKey(0))
-    n_frames = int(jax.device_get(ylen)[0])
-    return t * SAMPLE_RATE / (n_frames * HOP)
+        t, (_, ylens) = _median_time(
+            synth_chain, params, x, xl, jax.random.PRNGKey(0), n=5
+        )
+    n_frames = int(np.asarray(ylens).reshape(-1)[0])
+    return (t / CHAIN) * SAMPLE_RATE / (n_frames * HOP)
 
 
 def bench_spiral_step(bf16: bool, batch_size: int = 24, crop: int = 250000):
@@ -129,14 +156,15 @@ def bench_spiral_step(bf16: bool, batch_size: int = 24, crop: int = 250000):
         (batch_size, spec_len, cfg.num_features), tx,
     )
     step = make_pretrain_step(model, cfg, tx, bf16=bf16)
-    # donated state: time by chaining states
+    # donated state: time by chaining states; device_get is the only hard
+    # sync on the tunneled platform (see _median_time)
     state, m = step(state, batch, jax.random.PRNGKey(0))
-    jax.block_until_ready(m["loss"])
+    jax.device_get(m["loss"])
     times = []
     for i in range(5):
         t0 = time.perf_counter()
         state, m = step(state, batch, jax.random.PRNGKey(i))
-        jax.block_until_ready(m["loss"])
+        jax.device_get(m["loss"])
         times.append(time.perf_counter() - t0)
     return float(np.median(times)) * 1e3
 
