@@ -32,6 +32,8 @@ def conv1d(
     groups: int = 1,
 ) -> jnp.ndarray:
     """(B, T, Cin) * (k, Cin/groups, Cout) -> (B, T', Cout), torch geometry."""
+    if x.dtype != w.dtype:
+        x = x.astype(w.dtype)
     y = lax.conv_general_dilated(
         x,
         w,
@@ -56,6 +58,8 @@ def conv2d(
 ) -> jnp.ndarray:
     """(B, H, W, Cin) * (kh, kw, Cin, Cout) -> (B, H', W', Cout), torch geometry."""
     ph, pw = _pair(padding)
+    if x.dtype != w.dtype:
+        x = x.astype(w.dtype)
     y = lax.conv_general_dilated(
         x,
         w,
@@ -83,6 +87,8 @@ def conv_transpose1d(
     """
     k = w.shape[0]
     w_flip = jnp.flip(w, axis=0)
+    if x.dtype != w.dtype:
+        x = x.astype(w.dtype)
     y = lax.conv_general_dilated(
         x,
         w_flip,
@@ -108,6 +114,8 @@ def conv_transpose2d(
     ph, pw = _pair(padding)
     sh, sw = _pair(stride)
     w_flip = jnp.flip(w, axis=(0, 1))
+    if x.dtype != w.dtype:
+        x = x.astype(w.dtype)
     y = lax.conv_general_dilated(
         x,
         w_flip,

@@ -172,6 +172,12 @@ class GradLogPEstimator2d(nn.Module):
     @nn.compact
     def __call__(self, x, mask, mu, t, spk=None):
         # x, mu: (B, T, F); mask: (B, T); t: (B,)
+        # match the activation dtype (enables bf16 serving: cast params +
+        # inputs to bf16 and the whole U-Net stays bf16; the fp32 SDE-time
+        # scalar would otherwise promote everything back to fp32)
+        t = t.astype(x.dtype)
+        mask = mask.astype(x.dtype)
+        mu = mu.astype(x.dtype)
         t_emb = SinusoidalPosEmb(self.dim, name="time_pos_emb")(t, scale=self.pe_scale)
         t_emb = nn.Dense(self.dim * 4, name="mlp_0")(t_emb)
         t_emb = mish(t_emb)
