@@ -53,6 +53,8 @@ def main(argv=None):
                         "graph as StableHLO to this path")
     parser.add_argument("--tokenizer_file", type=str, default="")
     parser.add_argument("--max_epochs", type=int, default=0)
+    parser.add_argument("--dev_data_dup_factor", type=int, default=0,
+                        help="duplicate validation entries N times")
     args = parser.parse_args(args=argv)
     print(f"training args: {args}")
 
@@ -88,6 +90,8 @@ def main(argv=None):
         cfg.trainer.max_epochs = args.max_epochs
     if args.num_devices:
         cfg.trainer.devices = args.num_devices
+    if args.dev_data_dup_factor > 0 and cfg.model.validation_ds is not None:
+        cfg.model.validation_ds.dup_factor = args.dev_data_dup_factor
 
     log_dir = args.model_save_dir
     print(f"train config: {cfg}")

@@ -320,8 +320,12 @@ class AudioDataset:
         augmentor: Optional[AudioAugmentor] = None,
         return_both: bool = False,
         seed: int = 0,
+        dup_factor: int = 1,
     ):
         self.entries = read_manifest(manifest_filepath, min_duration, max_duration)
+        if dup_factor > 1:
+            # reference dev_data_dup_factor: pad tiny dev sets to span epochs
+            self.entries = self.entries * dup_factor
         self.sample_rate = sample_rate
         self.crop_size = crop_size
         self.augmentor = augmentor

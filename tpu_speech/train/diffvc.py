@@ -184,10 +184,13 @@ class DiffVCTrainer:
         called as preview_fn(trainer, epoch) after each checkpoint — the
         stage CLIs use it for the reference's per-epoch mel-image +
         Griffin-Lim audio logging (DiffVC/train_dec.py:115-136)."""
+        from tpu_speech.parallel import distributed
+
         self.step_fn = step_fn
         self.mesh = mesh if mesh is not None else make_mesh()
         self.state = replicate(self.mesh, state)
         self.exp = exp
+        self.primary = distributed.is_primary()
         if exp is not None:
             log_dir = exp.log_dir
         self.log_dir = log_dir
@@ -196,15 +199,17 @@ class DiffVCTrainer:
         self.save_every = save_every
         self.preview_fn = preview_fn
         self.iteration = 0
-        if exp is not None:
-            self.tb = exp.tb
-        else:
-            try:
-                from tensorboardX import SummaryWriter
+        self.tb = None
+        if self.primary:
+            if exp is not None:
+                self.tb = exp.tb
+            else:
+                try:
+                    from tensorboardX import SummaryWriter
 
-                self.tb = SummaryWriter(log_dir)
-            except Exception:
-                self.tb = None
+                    self.tb = SummaryWriter(log_dir)
+                except Exception:
+                    self.tb = None
 
     def resume_if_exists(self) -> bool:
         restored = self.ckpt.restore_latest(jax.device_get(self.state))
@@ -231,13 +236,15 @@ class DiffVCTrainer:
                 )
             self.iteration += 1
         mean_loss = float(np.mean(losses)) if losses else float("nan")
-        with open(os.path.join(self.log_dir, "train.log"), "a") as f:
-            f.write(
-                "Epoch %d: loss = %.4f | %.1fs\n"
-                % (epoch, mean_loss, time.time() - t0)
-            )
+        if self.primary:
+            with open(os.path.join(self.log_dir, "train.log"), "a") as f:
+                f.write(
+                    "Epoch %d: loss = %.4f | %.1fs\n"
+                    % (epoch, mean_loss, time.time() - t0)
+                )
         if epoch % self.save_every == 0:
-            self.ckpt.save(self.iteration, jax.device_get(self.state))
-            if self.preview_fn is not None:
+            if self.primary:
+                self.ckpt.save(self.iteration, jax.device_get(self.state))
+            if self.preview_fn is not None and self.primary:
                 self.preview_fn(self, epoch)
         return mean_loss

@@ -107,8 +107,11 @@ class GradTTSTrainer:
         int32 'x' (B, Tx) and 'x_lengths' (+ optional 'spk') used for the
         per-epoch synthesis previews the reference logs as its de-facto
         integration test (train.py:142-172)."""
+        from tpu_speech.parallel import distributed
+
         self.model = model
         self.exp = exp
+        self.primary = distributed.is_primary()
         if exp is not None:
             log_dir = exp.log_dir
         self.log_dir = log_dir
@@ -120,15 +123,17 @@ class GradTTSTrainer:
         self.train_step = make_train_step(model, self.tx, out_size, bf16=bf16)
         self.ckpt = Checkpointer(os.path.join(log_dir, "ckpt"))
         self.save_every = save_every
-        if exp is not None:
-            self.tb = exp.tb
-        else:
-            try:
-                from tensorboardX import SummaryWriter
+        self.tb = None
+        if self.primary:
+            if exp is not None:
+                self.tb = exp.tb
+            else:
+                try:
+                    from tensorboardX import SummaryWriter
 
-                self.tb = SummaryWriter(log_dir)
-            except Exception:
-                self.tb = None
+                    self.tb = SummaryWriter(log_dir)
+                except Exception:
+                    self.tb = None
         self.preview_batch = preview_batch
         self.preview_timesteps = preview_timesteps
         self.preview_max_frames = preview_max_frames
@@ -241,9 +246,11 @@ class GradTTSTrainer:
                 n_frames / max(dt, 1e-9),
             )
         )
-        with open(os.path.join(self.log_dir, "train.log"), "a") as f:
-            f.write(msg)
+        if self.primary:
+            with open(os.path.join(self.log_dir, "train.log"), "a") as f:
+                f.write(msg)
         if epoch % self.save_every == 0:
-            self.ckpt.save(self.iteration, jax.device_get(self.state))
+            if self.primary:
+                self.ckpt.save(self.iteration, jax.device_get(self.state))
             self.log_previews(epoch)
         return {k: float(np.mean(v)) if v else float("nan") for k, v in agg.items()}

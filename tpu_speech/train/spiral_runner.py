@@ -227,7 +227,7 @@ class SpiralPretrainRunner:
         dataset = AudioDataset(
             ds_cfg.manifest_filepath, ds_cfg.sample_rate,
             m.train_ds.crop_size, ds_cfg.min_duration, ds_cfg.max_duration,
-            return_both=True,
+            return_both=True, dup_factor=getattr(ds_cfg, "dup_factor", 1),
         )
         loader = DataLoader(
             dataset, ds_cfg.batch_size * jax.local_device_count(),

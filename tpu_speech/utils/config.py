@@ -78,6 +78,7 @@ class AudioDatasetConfig:
     # manifest provides metadata and audio streams from these tar files
     tarred_audio_filepaths: Optional[str] = None
     shuffle_n: int = 0
+    dup_factor: int = 1  # duplicate entries (reference dev_data_dup_factor)
 
 
 @dataclasses.dataclass
