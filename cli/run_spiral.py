@@ -55,6 +55,10 @@ def main(argv=None):
     parser.add_argument("--max_epochs", type=int, default=0)
     parser.add_argument("--dev_data_dup_factor", type=int, default=0,
                         help="duplicate validation entries N times")
+    parser.add_argument("--profile", type=str2bool, default=False,
+                        help="capture an XLA profiler trace of the first "
+                        "training epoch into <log_dir>/plugins (view in "
+                        "TensorBoard's profile tab)")
     args = parser.parse_args(args=argv)
     print(f"training args: {args}")
 
@@ -121,7 +125,13 @@ def main(argv=None):
             print(f"Resumed from iteration {runner.iteration}")
         val_every = max(1, getattr(cfg.trainer, "val_check_interval_epochs", 1))
         for epoch in range(1, cfg.trainer.max_epochs + 1):
-            loss = runner.train_epoch(epoch)
+            if args.profile and epoch == 1:
+                from tpu_speech.utils.profiling import trace
+
+                with trace(log_dir):
+                    loss = runner.train_epoch(epoch)
+            else:
+                loss = runner.train_epoch(epoch)
             print(f"Epoch {epoch}: loss = {loss:.4f}", flush=True)
             if epoch % val_every == 0:
                 val = runner.validate()

@@ -80,3 +80,15 @@ def test_warmup_cosine_monotone_warmup():
     vals = [float(s(jnp.asarray(i))) for i in range(11)]
     assert all(b >= a for a, b in zip(vals, vals[1:]))
     assert abs(vals[-1] - 1.0) < 1e-6
+
+
+def test_rank_aware_logger(capsys):
+    import logging
+
+    from tpu_speech.utils import logging as tl
+
+    tl._logger = None
+    logger = tl.get_logger("tpu_speech_test")
+    assert logger.level == logging.INFO  # single-process -> primary
+    logger.info("hello from primary")
+    assert tl.get_logger() is logger  # cached
