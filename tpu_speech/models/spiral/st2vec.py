@@ -174,6 +174,12 @@ def teacher_shift(specs, spec_lens, k_units, r_units, unit, max_units,
     return buf, new_lens
 
 
+# Perf note (measured on v5e, B=24/250k-crop step): reformulating the
+# negatives as an all-pairs (B,T,T) gram matmul + scalar-logit gathers
+# (avoiding this (N,B,T,D) materialization) ran ~5% SLOWER end to end —
+# XLA already fuses the gather+cosine+softmax chain here, and the extra
+# fp32-precision grams plus the (B,T,T) scatter in backward cost more than
+# the vector gathers. Keep the materialized formulation.
 def sample_negatives(rng, feats, feat_lens, n_negatives):
     """Per-frame negatives from the same utterance's valid frames, excluding
     the frame itself (sample_negatives_flat, st2vec_model.py:375-413, without
