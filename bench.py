@@ -183,6 +183,15 @@ def run_one(metric: str):
     elif metric == "gradtts_rtf_10step":
         rtf = bench_tts(e2e=False)
         emit(metric, rtf, "rtf", TARGET_RTF / rtf)
+    elif metric == "gradtts_e2e_throughput_b16":
+        xrt = bench_tts_throughput()
+        # baseline: the inverted north-star RTF (0.02 -> 50x realtime/chip)
+        emit(metric, xrt, "x_realtime", xrt / (1.0 / TARGET_RTF))
+    elif metric == "hifigan_throughput_b16":
+        xrt = bench_hifigan_throughput()
+        # the vendored HiFi-GAN README claims 167x realtime on V100
+        # (Grad-TTS/hifi-gan/README.md:18-20) — vocoder-only, apples to apples
+        emit(metric, xrt, "x_realtime", xrt / 167.0)
     elif metric == "spiral_step_ms_fp32":
         ms = bench_spiral_step(bf16=False)
         emit(metric, ms, "ms/step", SPIRAL_TARGET_MS / ms)
@@ -193,9 +202,63 @@ def run_one(metric: str):
         raise SystemExit(f"unknown metric {metric}")
 
 
+def bench_tts_throughput(batch: int = 16):
+    """Serving throughput: one dispatch synthesizing `batch` utterances in
+    parallel (text -> mel -> waveform), reported as generated-audio seconds
+    per wall second."""
+    model = GradTTS(n_vocab=len(symbols) + 1)
+    seq = intersperse(text_to_sequence(TEXT, ["english_cleaners"]), len(symbols))
+    x = jnp.asarray(np.tile(np.array([seq], dtype=np.int32), (batch, 1)))
+    xl = jnp.full((batch,), x.shape[1], dtype=jnp.int32)
+    params = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0)}, x[:1], xl[:1],
+        jnp.zeros((1, 64, 80)), jnp.array([64]),
+        jax.random.PRNGKey(1), train=False,
+    )
+    voc = Generator()
+    voc_params = jax.jit(voc.init)(
+        jax.random.PRNGKey(2), jnp.zeros((1, BUCKET, 80))
+    )
+
+    @jax.jit
+    def synth(p, vp, x, xl, rng):
+        _, dec, _, ylen = synthesize(
+            model, p, x, xl, n_timesteps=N_STEPS, y_max_length=BUCKET,
+            temperature=1.5, length_scale=0.91, rng=rng,
+        )
+        return voc.apply(vp, dec), ylen
+
+    t, (_, ylens) = _median_time(
+        synth, params, voc_params, x, xl, jax.random.PRNGKey(0), n=5
+    )
+    audio_seconds = float(np.sum(np.asarray(ylens))) * HOP / SAMPLE_RATE
+    return audio_seconds / t
+
+
+def bench_hifigan_throughput(batch: int = 16):
+    """Vocoder-only throughput (mel -> waveform), comparable to the vendored
+    HiFi-GAN README's 167x-realtime V100 claim."""
+    voc = Generator()
+    voc_params = jax.jit(voc.init)(
+        jax.random.PRNGKey(2), jnp.zeros((1, BUCKET, 80))
+    )
+    mel = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (batch, BUCKET, 80)).astype(np.float32))
+
+    @jax.jit
+    def vocode(vp, mel):
+        return voc.apply(vp, mel)
+
+    t, wav = _median_time(vocode, voc_params, mel, n=5)
+    audio_seconds = batch * BUCKET * HOP / SAMPLE_RATE
+    return audio_seconds / t
+
+
 ALL_METRICS = (
     "gradtts_e2e_wav_rtf_10step",
     "gradtts_rtf_10step",
+    "gradtts_e2e_throughput_b16",
+    "hifigan_throughput_b16",
     "spiral_step_ms_fp32",
     "spiral_step_ms_bf16",
 )
