@@ -85,13 +85,33 @@ def hann_window(win_length: int) -> np.ndarray:
 
 
 def frame_signal(y: jnp.ndarray, frame_length: int, hop_length: int) -> jnp.ndarray:
-    """(..., N) -> (..., T, frame_length) via gather; T = 1 + (N - frame)/hop."""
+    """(..., N) -> (..., T, frame_length); T = 1 + (N - frame)/hop.
+
+    Polyphase formulation: with ``frame = q*hop + r`` the frame matrix is
+    ``frames[t, q*hop:(q+1)*hop] = W[t+q, :]`` over the hop-reshaped signal
+    ``W``, i.e. a handful of contiguous shifted slices — XLA lowers these to
+    cheap copies. The naive 2-D index gather this replaces is pathologically
+    slow on TPU (measured 5x the whole-pipeline cost at SPIRAL shapes).
+    """
     n = y.shape[-1]
     num_frames = 1 + (n - frame_length) // hop_length
-    idx = (
-        np.arange(num_frames)[:, None] * hop_length + np.arange(frame_length)[None, :]
-    )
-    return y[..., idx]
+    q_full, rem = divmod(frame_length, hop_length)
+    rows = num_frames + q_full + (1 if rem else 0)
+    need = rows * hop_length
+    if need > n:
+        y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, need - n)])
+    w = y[..., :need].reshape(*y.shape[:-1], rows, hop_length)
+    parts = [
+        jax.lax.slice_in_dim(w, q, q + num_frames, axis=-2)
+        for q in range(q_full)
+    ]
+    if rem:
+        parts.append(
+            jax.lax.slice_in_dim(w, q_full, q_full + num_frames, axis=-2)[
+                ..., :rem
+            ]
+        )
+    return jnp.concatenate(parts, axis=-1)
 
 
 def stft_magnitude(

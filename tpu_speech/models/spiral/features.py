@@ -54,8 +54,18 @@ def filterbank_features(
     do_normalize_time_domain: bool = True,
     training: bool = False,
     rng: Optional[jax.Array] = None,
+    use_fused_kernel: Optional[bool] = None,
 ):
-    """wav (B, N), lengths (B,) -> (feats (B, T, nfilt), feat_lens (B,))."""
+    """wav (B, N), lengths (B,) -> (feats (B, T, nfilt), feat_lens (B,)).
+
+    use_fused_kernel: run the STFT->log-mel core as the fused Pallas TPU
+    kernel (ops/fused_logmel.py) — one HBM read of the wav, one write of the
+    log-mel; measured ~25x faster than the rfft pipeline at the SPIRAL
+    pretrain operating point. None = auto (on when the default backend is
+    TPU and mag_power is 1 or 2). The kernel is forward-only (the SPIRAL
+    wav->spec path carries no gradient); pass False when differentiating
+    through the featurizer.
+    """
     win_length = int(window_size * sample_rate)
     hop_length = int(window_stride * sample_rate)
     if n_fft is None:
@@ -82,16 +92,36 @@ def filterbank_features(
     xp = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
     n = xp.shape[-1]
     num_frames = 1 + (n - n_fft) // hop_length
-    idx = np.arange(num_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
-    frames = xp[:, idx] * jnp.asarray(window)
-    spec = jnp.fft.rfft(frames, axis=-1)
-    mag = jnp.sqrt(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2)
-    if mag_power != 1.0:
-        mag = mag**mag_power
+    fb_np = mel_filterbank(sample_rate, n_fft, nfilt, lowfreq, highfreq)
 
-    fb = jnp.asarray(mel_filterbank(sample_rate, n_fft, nfilt, lowfreq, highfreq))
-    feats = mag @ fb.T  # (B, T, nfilt)
-    feats = jnp.log(feats + log_zero_guard_value)
+    if use_fused_kernel is None:
+        use_fused_kernel = (
+            jax.default_backend() == "tpu" and mag_power in (1.0, 2.0)
+        )
+    if use_fused_kernel:
+        from tpu_speech.ops.fused_logmel import fused_logmel
+
+        # fp32 (3-pass MXU) operands: bf16 operands are ~2x faster still,
+        # but per-feature normalization divides by the feature std and can
+        # amplify bf16 log-mel noise on low-variance features — fp32 keeps
+        # the fused path within 1e-4 of the rfft pipeline end to end.
+        feats = fused_logmel(
+            xp, window, fb_np, n_fft=n_fft, hop_length=hop_length,
+            num_frames=num_frames,
+            mag_mode="power" if mag_power == 2.0 else "mag_eps",
+            mag_eps=0.0, log_mode="guard", log_guard=log_zero_guard_value,
+            fp32_matmul=True,
+        )
+    else:
+        from tpu_speech.audio.mel import frame_signal
+
+        frames = frame_signal(xp, n_fft, hop_length) * jnp.asarray(window)
+        spec = jnp.fft.rfft(frames, axis=-1)
+        mag = jnp.sqrt(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2)
+        if mag_power != 1.0:
+            mag = mag**mag_power
+        feats = mag @ jnp.asarray(fb_np).T  # (B, T, nfilt)
+        feats = jnp.log(feats + log_zero_guard_value)
 
     t = feats.shape[1]
     valid = (jnp.arange(t)[None, :] < feat_lens[:, None]).astype(feats.dtype)
