@@ -155,15 +155,18 @@ def bench_spiral_step(bf16: bool, batch_size: int = 24, crop: int = 250000):
         model, jax.random.PRNGKey(0),
         (batch_size, spec_len, cfg.num_features), tx,
     )
+    from tpu_speech.train.spiral import step_rng
+
     step = make_pretrain_step(model, cfg, tx, bf16=bf16)
     # donated state: time by chaining states; device_get is the only hard
-    # sync on the tunneled platform (see _median_time)
-    state, m = step(state, batch, jax.random.PRNGKey(0))
+    # sync on the tunneled platform (see _median_time). rbg rng = the
+    # SpiralModelConfig production default.
+    state, m = step(state, batch, step_rng(0))
     jax.device_get(m["loss"])
     times = []
     for i in range(5):
         t0 = time.perf_counter()
-        state, m = step(state, batch, jax.random.PRNGKey(i))
+        state, m = step(state, batch, step_rng(i))
         jax.device_get(m["loss"])
         times.append(time.perf_counter() - t0)
     return float(np.median(times)) * 1e3

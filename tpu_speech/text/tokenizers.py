@@ -117,6 +117,34 @@ class SubwordTokenizer:
         return text.replace(self.WORD_BOUNDARY, " ").strip()
 
 
+class HuggingFaceTokenizer:
+    """transformers AutoTokenizer wrapper with the same text_to_ids /
+    ids_to_text surface as the rest of the registry.
+
+    Mirrors the reference's ``AutoTokenizer`` wrapper
+    (SPIRAL/nemo/collections/common/tokenizers/huggingface/auto_tokenizer.py):
+    special tokens are excluded from encode so CTC targets contain only
+    real pieces.
+    """
+
+    def __init__(self, pretrained_model_name_or_path: str, **kwargs):
+        from transformers import AutoTokenizer
+
+        self.tokenizer = AutoTokenizer.from_pretrained(
+            pretrained_model_name_or_path, **kwargs
+        )
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.tokenizer)
+
+    def text_to_ids(self, text: str) -> List[int]:
+        return list(self.tokenizer.encode(text, add_special_tokens=False))
+
+    def ids_to_text(self, ids: Sequence[int]) -> str:
+        return self.tokenizer.decode(list(ids), skip_special_tokens=True)
+
+
 class BlankOffsetTokenizer:
     """Wraps a tokenizer so id 0 is reserved for the CTC blank
     (blank_pos='vocab_first'): token ids are shifted up by one."""

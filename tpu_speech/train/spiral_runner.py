@@ -42,6 +42,7 @@ from tpu_speech.parallel.mesh import (
 )
 from tpu_speech.train.optim import make_optimizer
 from tpu_speech.train.spiral import (
+    step_rng,
     host_augment_batch,
     init_spiral_state,
     make_pretrain_step,
@@ -101,6 +102,7 @@ class SpiralPretrainRunner:
         self.mesh = make_mesh(n_devices=n_dev if n_dev and n_dev > 0 else None)
         n_data = self.mesh.shape["data"]
         self.accum = max(1, getattr(cfg.trainer, "accumulate_grad_batches", 1))
+        self.rng_impl = getattr(cfg.model, "rng_impl", "rbg")
 
         aug = None
         noise_cfg = getattr(m, "noise_perturb", None)
@@ -352,7 +354,7 @@ class SpiralPretrainRunner:
                 batch = shard_batch(self.mesh, self._augment(raw))
             self.timer.tick("step")
             self.state, metrics = self.step_fn(
-                self.state, batch, jax.random.PRNGKey(self.iteration)
+                self.state, batch, step_rng(self.iteration, self.rng_impl)
             )
             m = jax.device_get(metrics)  # sync point closes the step timing
             self.timer.tock("step")
@@ -397,6 +399,7 @@ class SpiralFinetuneRunner:
         n_dev = getattr(cfg.trainer, "devices", -1)
         self.mesh = make_mesh(n_devices=n_dev if n_dev and n_dev > 0 else None)
         self.accum = max(1, getattr(cfg.trainer, "accumulate_grad_batches", 1))
+        self.rng_impl = getattr(cfg.model, "rng_impl", "rbg")
 
         from tpu_speech.text.tokenizers import BlankOffsetTokenizer
 
@@ -524,7 +527,7 @@ class SpiralFinetuneRunner:
             else:
                 batch = shard_batch(self.mesh, batch)
             self.state, metrics = self.step_fn(
-                self.state, batch, jax.random.PRNGKey(self.iteration)
+                self.state, batch, step_rng(self.iteration, self.rng_impl)
             )
             losses.append(float(jax.device_get(metrics)["loss"]))
             self.iteration += 1
