@@ -47,9 +47,18 @@ def _install_audio_stubs():
 
     from tpu_speech.audio.mel import mel_filterbank
 
+    import importlib.machinery
+
     librosa = types.ModuleType("librosa")
     librosa.__stub__ = True
+    # a bare ModuleType has __spec__=None, which breaks later
+    # importlib.util.find_spec("librosa") calls (e.g. transformers' lazy
+    # import machinery raises "ValueError: librosa.__spec__ is None")
+    librosa.__spec__ = importlib.machinery.ModuleSpec("librosa", loader=None)
     filters = types.ModuleType("librosa.filters")
+    filters.__spec__ = importlib.machinery.ModuleSpec(
+        "librosa.filters", loader=None
+    )
 
     def mel(sr, n_fft, n_mels=128, fmin=0.0, fmax=None, **kw):
         return np.asarray(mel_filterbank(sr, n_fft, n_mels, fmin, fmax or sr / 2))
@@ -61,6 +70,9 @@ def _install_audio_stubs():
 
     if "torchaudio" not in sys.modules:
         torchaudio = types.ModuleType("torchaudio")
+        torchaudio.__spec__ = importlib.machinery.ModuleSpec(
+            "torchaudio", loader=None
+        )
         torchaudio.functional = types.SimpleNamespace(istft=None)
         sys.modules["torchaudio"] = torchaudio
 
