@@ -24,6 +24,7 @@ from tpu_speech.models.spiral.masking import (
 from tpu_speech.models.spiral.st2vec import (
     ST2VecConfig,
     ST2VecEncoder,
+    check_collapse,
     contrastive_loss,
     sample_negatives,
     teacher_shift,
@@ -152,6 +153,24 @@ def test_contrastive_loss_prefers_match(rng):
     )
     assert float(loss_good) < float(loss_bad)
     assert float(acc_good) == 1.0
+
+
+def test_check_collapse_detects_collapse(rng):
+    b, t, d = 2, 12, 8
+    lens = jnp.array([12, 9])
+    # collapsed: every frame the same vector -> off-diagonal self-sim ~ 1
+    one = rng.standard_normal((1, 1, d)).astype(np.float32)
+    collapsed = jnp.asarray(np.tile(one, (b, t, 1)))
+    healthy = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+    diag_c = jax.jit(check_collapse)(collapsed, healthy, lens)
+    diag_h = jax.jit(check_collapse)(healthy, healthy, lens)
+    assert float(diag_c["self_sim"]) > 0.99
+    assert abs(float(diag_h["self_sim"])) < 0.5
+    # pred == target -> per-frame similarity is exactly 1
+    assert float(diag_h["pred_target_sim"]) > 0.999
+    assert set(diag_h) == {
+        "self_sim", "target_self_sim", "pred_target_sim", "cross_utt_sim",
+    }
 
 
 def test_pretrain_step_end_to_end(rng):

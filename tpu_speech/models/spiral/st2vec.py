@@ -196,6 +196,52 @@ def sample_negatives(rng, feats, feat_lens, n_negatives):
     return jnp.transpose(negs, (2, 0, 1, 3))  # (N, B, T, D)
 
 
+def check_collapse(pred, targets, feat_lens, trunc: int = 80):
+    """Representation-collapse diagnostics (st2vec_model.py:287-312).
+
+    The reference prints cosine-similarity matrices of the first utterance's
+    features against themselves / the teacher projections / a second
+    utterance. Here the same quantities are reduced to jit-friendly scalars
+    (a collapsed representation drives the off-diagonal self-similarity
+    toward 1): returns a dict of float32 scalars
+      self_sim          mean off-diagonal cos-sim of pred[0] with itself
+      target_self_sim   same for targets[0]
+      pred_target_sim   mean per-frame cos(pred[0], targets[0])
+      cross_utt_sim     mean per-frame cos(pred[0], pred[1])  (B >= 2)
+    All over the first min(feat_lens, trunc) frames, like the reference's
+    trunc_len = min(feature_lens.min(), 80).
+    """
+    t = min(trunc, pred.shape[1])
+    n = jnp.minimum(jnp.min(feat_lens), t)  # traced valid length
+    frame_ok = (jnp.arange(t) < n).astype(jnp.float32)  # (t,)
+
+    def unit(x):  # (t, D) -> L2-normalized float32 rows
+        x = x.astype(jnp.float32)
+        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
+
+    p0 = unit(pred[0, :t])
+    g0 = unit(targets[0, :t])
+
+    def offdiag_mean(u):
+        sim = u @ u.T  # (t, t)
+        w = frame_ok[:, None] * frame_ok[None, :] * (1.0 - jnp.eye(t))
+        return jnp.sum(sim * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+    def frame_mean(a, b):
+        return jnp.sum(jnp.sum(a * b, -1) * frame_ok) / jnp.maximum(
+            jnp.sum(frame_ok), 1.0
+        )
+
+    out = {
+        "self_sim": offdiag_mean(p0),
+        "target_self_sim": offdiag_mean(g0),
+        "pred_target_sim": frame_mean(p0, g0),
+    }
+    if pred.shape[0] >= 2:
+        out["cross_utt_sim"] = frame_mean(p0, unit(pred[1, :t]))
+    return out
+
+
 def contrastive_loss(
     logits, targets, negatives, valid_mask, logit_temp: float
 ):

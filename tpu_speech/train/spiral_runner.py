@@ -249,6 +249,7 @@ class SpiralPretrainRunner:
                 gaussian_mask_emb,
             )
             from tpu_speech.models.spiral.st2vec import (
+                check_collapse,
                 contrastive_loss,
                 sample_negatives,
                 teacher_shift,
@@ -298,22 +299,34 @@ class SpiralPretrainRunner:
                 loss, acc = contrastive_loss(
                     pred, targets, negs, valid, cfg.logit_temp
                 )
-                return loss, acc
+                # collapse diagnostics (reference check_collapse,
+                # st2vec_model.py:287-312) on the same tensors
+                diag = check_collapse(pred, targets, feat_lens)
+                return loss, acc, diag
 
             self._val_fn = val_loss
         losses = []
+        diags = []
         state = self.state
         for raw in loader:
             batch = self._augment(raw)
             batch = shard_batch(self.mesh, batch)
-            loss, _acc = self._val_fn(
+            loss, _acc, diag = self._val_fn(
                 state.params, state.batch_stats, state.teacher, batch,
                 jax.random.PRNGKey(0),
             )
             losses.append(float(jax.device_get(loss)))
+            diags.append(jax.device_get(diag))
         val = float(np.mean(losses)) if losses else float("nan")
         if self.tb is not None:
             self.tb.add_scalar("val/loss", val, self.iteration)
+            if diags:
+                for k in diags[0]:
+                    self.tb.add_scalar(
+                        f"val/collapse/{k}",
+                        float(np.mean([d[k] for d in diags])),
+                        self.iteration,
+                    )
         if self.primary:
             with open(os.path.join(self.log_dir, "train.log"), "a") as f:
                 f.write(f"Validation: loss = {val:.4f}\n")
