@@ -20,6 +20,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# this box has ONE cpu: XLA compiles dominate test wall time. Cache compiled
+# executables across test processes/runs (safe: keyed on HLO + flags).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("TPU_SPEECH_TEST_CACHE", "/tmp/tpu_speech_xla_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -36,7 +36,7 @@ def setup():
     model = GradTTS(**TINY)
     rng = np.random.default_rng(0)
     batch = _batch(rng)
-    params = model.init(
+    params = jax.jit(model.init, static_argnames=("train",))(
         {"params": jax.random.PRNGKey(0)},
         jnp.asarray(batch["x"]), jnp.asarray(batch["x_lengths"]),
         jnp.asarray(batch["y"]), jnp.asarray(batch["y_lengths"]),
