@@ -81,3 +81,76 @@ def test_normalize_volume():
     out = normalize_volume(wav, -30, increase_only=True)
     dbfs = 10 * np.log10(np.mean(out**2))
     assert np.isclose(dbfs, -30, atol=0.5)
+
+
+def test_random_cycler_guarantees():
+    from tpu_speech.data.speaker_verification import RandomCycler
+
+    items = list(range(5))
+    cyc = RandomCycler(items, np.random.default_rng(0))
+    m = 23
+    out = cyc.sample(m)
+    counts = {i: out.count(i) for i in items}
+    lo, hi = m // len(items), ((m - 1) // len(items)) + 1
+    assert all(lo <= c <= hi for c in counts.values()), counts
+
+
+def test_speaker_verification_sampler(tmp_path, rng):
+    from tpu_speech.data.speaker_verification import SpeakerVerificationSampler
+
+    n_mels = 12
+    for spk in range(3):
+        d = tmp_path / f"spk{spk}"
+        d.mkdir()
+        for u in range(2):
+            np.save(d / f"utt{u}.npy",
+                    rng.standard_normal((20 + 5 * u, n_mels)).astype(np.float32))
+    sampler = SpeakerVerificationSampler(
+        str(tmp_path), speakers_per_batch=3, utterances_per_speaker=4,
+        n_frames=10, seed=1,
+    )
+    batch = sampler.next_batch()
+    assert batch.shape == (12, 10, n_mels)
+    batch2 = sampler.next_batch()
+    assert not np.array_equal(batch, batch2)
+
+
+def test_train_speaker_encoder_loop(tmp_path, rng):
+    """End-to-end GE2E loop (reference encoder/train.py): loss/EER logging,
+    projection image, checkpoint save + resume."""
+    from tpu_speech.train.speaker_encoder import train_speaker_encoder
+
+    n_mels = 40
+    data = tmp_path / "data"
+    for spk in range(3):
+        d = data / f"spk{spk}"
+        d.mkdir(parents=True)
+        for u in range(2):
+            np.save(d / f"utt{u}.npy",
+                    rng.standard_normal((12, n_mels)).astype(np.float32))
+    models = str(tmp_path / "models")
+    state = train_speaker_encoder(
+        str(data), models, run_id="t", speakers_per_batch=3,
+        utterances_per_speaker=2, n_frames=8, max_steps=2, vis_every=1,
+        umap_every=2, save_every=2, backup_every=0,
+    )
+    assert int(state.step) == 2
+    backups = tmp_path / "models" / "t_backups"
+    assert (backups / "t_proj_000002.png").exists()
+    # resume continues from the saved step
+    state = train_speaker_encoder(
+        str(data), models, run_id="t", speakers_per_batch=3,
+        utterances_per_speaker=2, n_frames=8, max_steps=3, vis_every=1,
+        umap_every=0, save_every=0, backup_every=0,
+    )
+    assert int(state.step) == 3
+
+
+def test_plot_projections_shapes(rng):
+    from tpu_speech.utils.plotting import pca_project, plot_projections
+
+    emb = rng.standard_normal((20, 16)).astype(np.float32)
+    proj = pca_project(emb)
+    assert proj.shape == (20, 2)
+    img = plot_projections(emb, utterances_per_speaker=4, step=7)
+    assert img.ndim == 3 and img.shape[2] == 3

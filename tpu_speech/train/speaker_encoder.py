@@ -42,11 +42,11 @@ def make_ge2e_train_step(model: SpeakerEncoder, tx):
         embeds = model.apply({"params": params}, frames.reshape(s * u, t, f))
         embeds = embeds.reshape(s, u, -1)
         loss, sim = ge2e_loss(embeds, sim_w, sim_b)
-        return loss, sim
+        return loss, (sim, embeds)
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: GE2EState, frames):
-        (loss, sim), grads = jax.value_and_grad(
+        (loss, (sim, embeds)), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2), has_aux=True
         )(state.params, state.sim_weight, state.sim_bias, frames)
         g_model, g_w, g_b = grads
@@ -69,7 +69,90 @@ def make_ge2e_train_step(model: SpeakerEncoder, tx):
                 state.step + 1, new["model"], new["sim_weight"],
                 new["sim_bias"], opt_state,
             ),
-            {"loss": loss, "grad_norm": gnorm},
+            {"loss": loss, "grad_norm": gnorm, "sim": sim, "embeds": embeds},
         )
 
     return step
+
+
+def train_speaker_encoder(
+    clean_data_root: str,
+    models_dir: str,
+    run_id: str = "ge2e",
+    speakers_per_batch: int = 64,
+    utterances_per_speaker: int = 10,
+    n_frames: int = 160,
+    n_mels: int = 40,
+    learning_rate: float = 1e-4,
+    max_steps: int = 1_000_000,
+    vis_every: int = 10,
+    umap_every: int = 100,
+    save_every: int = 500,
+    backup_every: int = 7500,
+    force_restart: bool = False,
+    seed: int = 0,
+):
+    """Reference GE2E training loop (encoder/train.py:18-126), TPU-native:
+    one donated jitted step; EER host-side from the step's similarity matrix;
+    periodic 2-D embedding projections saved to ``<run_id>_backups/`` (PCA
+    replaces UMAP — no umap dependency offline); checkpoint + resume.
+    """
+    import os
+
+    from tpu_speech.data.speaker_verification import SpeakerVerificationSampler
+    from tpu_speech.models.speaker_encoder import equal_error_rate
+    from tpu_speech.utils.checkpoint import Checkpointer
+    from tpu_speech.utils.plotting import plot_projections
+
+    sampler = SpeakerVerificationSampler(
+        clean_data_root, speakers_per_batch, utterances_per_speaker,
+        n_frames, seed=seed,
+    )
+    model = SpeakerEncoder()
+    tx = optax.adam(learning_rate)
+    state = init_ge2e_state(
+        model, jax.random.PRNGKey(seed), n_frames, n_mels, tx
+    )
+    os.makedirs(models_dir, exist_ok=True)
+    backup_dir = os.path.join(models_dir, f"{run_id}_backups")
+    ckpt = Checkpointer(os.path.join(models_dir, run_id))
+    if not force_restart:
+        restored = ckpt.restore_latest(jax.device_get(state))
+        if restored is not None:
+            state = restored
+            print(f"Resuming '{run_id}' at step {int(state.step)}.")
+    step_fn = make_ge2e_train_step(model, tx)
+    losses, eers = [], []
+    start = int(jax.device_get(state.step))
+    for step in range(start + 1, max_steps + 1):
+        frames = sampler.next_batch().reshape(
+            speakers_per_batch, utterances_per_speaker, n_frames, -1
+        )
+        state, metrics = step_fn(state, jnp.asarray(frames))
+        if step % vis_every == 0:
+            m = jax.device_get(metrics)
+            losses.append(float(m["loss"]))
+            eers.append(equal_error_rate(
+                np.asarray(m["sim"]), speakers_per_batch
+            ))
+            print(
+                f"Step {step:6d}   Loss: {np.mean(losses):.4f}   "
+                f"EER: {np.mean(eers):.4f}", flush=True,
+            )
+            losses.clear(), eers.clear()
+        if umap_every and step % umap_every == 0:
+            os.makedirs(backup_dir, exist_ok=True)
+            embeds = np.asarray(jax.device_get(metrics["embeds"]))
+            embeds = embeds.reshape(-1, embeds.shape[-1])
+            plot_projections(
+                embeds, utterances_per_speaker, step,
+                os.path.join(backup_dir, f"{run_id}_proj_{step:06d}.png"),
+            )
+        if save_every and step % save_every == 0:
+            ckpt.save(step, jax.device_get(state))
+        if backup_every and step % backup_every == 0:
+            os.makedirs(backup_dir, exist_ok=True)
+            Checkpointer(os.path.join(backup_dir, f"bak_{step:06d}")).save(
+                step, jax.device_get(state)
+            )
+    return state
