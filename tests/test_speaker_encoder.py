@@ -154,3 +154,36 @@ def test_plot_projections_shapes(rng):
     assert proj.shape == (20, 2)
     img = plot_projections(emb, utterances_per_speaker=4, step=7)
     assert img.ndim == 3 and img.shape[2] == 3
+
+
+def test_preprocess_spk_cli(tmp_path, rng):
+    """preprocess.py analog: wav dirs -> per-speaker .npy frames consumable
+    by the GE2E sampler (encoder/preprocess.py:63-120)."""
+    import sys
+    sys.path.insert(0, "cli")
+    from preprocess_spk import preprocess_speaker_dirs
+
+    from tpu_speech.data.speaker_verification import SpeakerVerificationSampler
+    from tpu_speech.data.wav import write_wav
+
+    raw = tmp_path / "raw"
+    for spk in range(2):
+        d = raw / f"spk{spk}" / "sess1"
+        d.mkdir(parents=True)
+        for u in range(2):
+            # ~2.2 s of tone+noise at 16 kHz -> > 160 mel frames after VAD
+            t = np.arange(35000) / 16000.0
+            wav = (0.4 * np.sin(2 * np.pi * (200 + 50 * spk + 10 * u) * t)
+                   + 0.05 * rng.standard_normal(35000)).astype(np.float32)
+            write_wav(str(d / f"utt{u}.wav"), wav, 16000)
+    out = tmp_path / "processed"
+    n = preprocess_speaker_dirs(str(raw), str(out), "toy")
+    assert n == 4
+    assert (out / "Log_toy.txt").exists()
+    assert (out / "spk0" / "_sources.txt").exists()
+    frames = np.load(next((out / "spk0").glob("*.npy")))
+    assert frames.ndim == 2 and frames.shape[1] == 40
+    assert frames.shape[0] >= 160
+    sampler = SpeakerVerificationSampler(str(out), 2, 3, 160, seed=0)
+    batch = sampler.next_batch()
+    assert batch.shape == (6, 160, 40)
