@@ -20,9 +20,16 @@ class GumbelVectorQuantizer(nn.Module):
     temp: Tuple[float, float, float] = (2.0, 0.5, 0.999995)  # (start, stop, decay)
 
     @nn.compact
-    def __call__(self, x, num_updates, train: bool = False, rng=None):
+    def __call__(self, x, num_updates, train: bool = False, rng=None,
+                 weight=None):
         """x: (B, T, dim) -> (quantized (B, T, vq_dim), prob_ppl_loss,
-        cur_temp, prob_ppl)."""
+        cur_temp, prob_ppl).
+
+        weight: optional (B, T) 0/1 frame weights — the perplexity statistics
+        are computed over weighted frames only (the reference quantizes a
+        gathered subset of frames, wav2vec_model.py:322-324; here all frames
+        are quantized at fixed shape and the statistics are masked instead).
+        """
         assert self.vq_dim % self.groups == 0
         var_dim = self.vq_dim // self.groups
         num_groups = 1 if self.combine_groups else self.groups
@@ -43,9 +50,14 @@ class GumbelVectorQuantizer(nn.Module):
         max_t, min_t, decay = self.temp
         cur_temp = jnp.maximum(max_t * decay ** num_updates, min_t)
 
-        avg_probs = jnp.mean(
-            jax.nn.softmax(logits.astype(jnp.float32), axis=-1), axis=0
-        )
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        if weight is None:
+            avg_probs = jnp.mean(probs, axis=0)
+        else:
+            w = weight.reshape(b * t, 1, 1).astype(jnp.float32)
+            avg_probs = jnp.sum(probs * w, axis=0) / jnp.maximum(
+                jnp.sum(w), 1.0
+            )
         prob_ppl = jnp.sum(
             jnp.exp(-jnp.sum(avg_probs * jnp.log(avg_probs + 1e-7), axis=-1))
         )
