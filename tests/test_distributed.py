@@ -222,3 +222,63 @@ def test_two_process_matches_single_process():
     assert l_single == pytest.approx(l_multi[0], rel=1e-5), (
         l_single, l_multi
     )
+
+
+def test_tensor_parallel_placement_matches_dp():
+    """shard_params_tp on the 2-D (data, model) mesh is a pure placement
+    change: one train step must produce the same loss as the replicated-param
+    DP run (XLA inserts the TP collectives)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tpu_speech.models.grad_tts import GradTTS
+    from tpu_speech.parallel.mesh import (
+        MODEL_AXIS,
+        make_mesh,
+        replicate,
+        shard_batch,
+        shard_params_tp,
+    )
+    from tpu_speech.train.gradtts import make_train_step
+    from tpu_speech.train.state import TrainState
+
+    model = GradTTS(
+        n_vocab=30, n_enc_channels=16, filter_channels=32,
+        filter_channels_dp=16, n_heads=2, n_enc_layers=1, enc_kernel=3,
+        enc_dropout=0.1, window_size=2, n_feats=8, dec_dim=8,
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": rng.integers(1, 30, size=(8, 12)).astype(np.int32),
+        "x_lengths": np.full((8,), 12, dtype=np.int32),
+        "y": rng.standard_normal((8, 32, 8)).astype(np.float32),
+        "y_lengths": np.full((8,), 32, dtype=np.int32),
+    }
+    params = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.asarray(batch["x"]), jnp.asarray(batch["x_lengths"]),
+        jnp.asarray(batch["y"]), jnp.asarray(batch["y_lengths"]),
+        jax.random.PRNGKey(1), train=False,
+    )
+    tx = optax.adam(1e-4)
+    fresh = lambda: jax.tree.map(jnp.copy, {"params": params["params"]})
+
+    mesh_dp = make_mesh(n_devices=8)
+    mesh_tp = make_mesh(n_devices=8, model_parallel=2)
+    assert mesh_tp.shape[MODEL_AXIS] == 2
+    state_dp = replicate(mesh_dp, TrainState.create(fresh(), tx))
+    state_tp = shard_params_tp(mesh_tp, TrainState.create(fresh(), tx))
+    # at least one leaf is actually model-sharded
+    shardings = jax.tree.leaves(
+        jax.tree.map(lambda a: str(a.sharding.spec), state_tp.params)
+    )
+    assert any(MODEL_AXIS in s for s in shardings), shardings
+
+    step = make_train_step(model, tx, out_size=16)
+    _, m_dp = step(state_dp, shard_batch(mesh_dp, batch), jax.random.PRNGKey(2))
+    _, m_tp = step(state_tp, shard_batch(mesh_tp, batch), jax.random.PRNGKey(2))
+    l_dp = float(jax.device_get(m_dp["loss"]))
+    l_tp = float(jax.device_get(m_tp["loss"]))
+    assert abs(l_dp - l_tp) < 1e-4, (l_dp, l_tp)

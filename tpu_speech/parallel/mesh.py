@@ -102,3 +102,23 @@ def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params/opt state) across the mesh."""
     sharding = replicated(mesh)
     return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
+
+
+def shard_params_tp(mesh: Mesh, tree):
+    """Tensor-parallel parameter placement over the reserved 'model' axis:
+    every rank>=2 leaf whose last (output-feature) dim divides the model-axis
+    size is column-sharded; everything else is replicated. The train step
+    itself is unchanged — XLA propagates the shardings and inserts the
+    all-gathers/reduce-scatters (nothing in the reference requires TP,
+    SURVEY §2.5; this keeps the mesh design demonstrably open for it)."""
+    size = mesh.shape[MODEL_AXIS]
+    repl = NamedSharding(mesh, P())
+
+    def put(a):
+        nd = getattr(a, "ndim", 0)
+        if nd >= 2 and a.shape[-1] % size == 0 and a.shape[-1] >= size:
+            spec = P(*([None] * (nd - 1) + [MODEL_AXIS]))
+            return jax.device_put(a, NamedSharding(mesh, spec))
+        return jax.device_put(a, repl)
+
+    return jax.tree.map(put, tree)
