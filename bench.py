@@ -64,7 +64,15 @@ def _median_time(fn, *args, n=10):
 CHAIN = 8  # utterances synthesized sequentially inside ONE dispatch
 
 
-def bench_tts(e2e: bool):
+def _cast_bf16(tree):
+    return jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+        tree,
+    )
+
+
+def bench_tts(e2e: bool, bf16: bool = False):
     """Per-utterance RTF from a chain of CHAIN sequential syntheses inside
     one jit dispatch. The dev harness tunnels the chip over the network with
     ~29 ms per dispatch+sync round trip — chaining amortizes that fixed
@@ -82,11 +90,16 @@ def bench_tts(e2e: bool):
         {"params": jax.random.PRNGKey(0)}, x, xl, y, yl,
         jax.random.PRNGKey(1), train=False,
     )
+    if bf16:
+        # bf16 serving: cast params; activations follow (nn/unet.py:175-177)
+        params = _cast_bf16(params)
     if e2e:
         voc = Generator()
         voc_params = jax.jit(voc.init)(
             jax.random.PRNGKey(2), jnp.zeros((1, BUCKET, 80))
         )
+        if bf16:
+            voc_params = _cast_bf16(voc_params)
 
         @jax.jit
         def synth_chain(p, vp, x, xl, rng):
@@ -183,6 +196,9 @@ def run_one(metric: str):
     if metric == "gradtts_e2e_wav_rtf_10step":
         rtf = bench_tts(e2e=True)
         emit(metric, rtf, "rtf", TARGET_RTF / rtf)
+    elif metric == "gradtts_e2e_wav_rtf_10step_bf16":
+        rtf = bench_tts(e2e=True, bf16=True)
+        emit(metric, rtf, "rtf", TARGET_RTF / rtf)
     elif metric == "gradtts_rtf_10step":
         rtf = bench_tts(e2e=False)
         emit(metric, rtf, "rtf", TARGET_RTF / rtf)
@@ -259,6 +275,7 @@ def bench_hifigan_throughput(batch: int = 16):
 
 ALL_METRICS = (
     "gradtts_e2e_wav_rtf_10step",
+    "gradtts_e2e_wav_rtf_10step_bf16",
     "gradtts_rtf_10step",
     "gradtts_e2e_throughput_b16",
     "hifigan_throughput_b16",
