@@ -76,7 +76,7 @@ def load_hifigan(config_path, ckpt_path):
     )
 
 
-def main():
+def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("-f", "--file", type=str, required=True,
                         help="path to a file with texts to synthesize")
@@ -89,7 +89,7 @@ def main():
     parser.add_argument("--hifigan", type=str, default=HIFIGAN_CHECKPT)
     parser.add_argument("--hifigan-config", type=str, default=HIFIGAN_CONFIG)
     parser.add_argument("--out-dir", type=str, default="./out")
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
 
     spk = None
     if args.speaker_id is not None:

@@ -65,7 +65,7 @@ def mel_spectral_subtraction(mel_synth, mel_source, spectral_floor=0.02,
     return out.T
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("-s", "--source", required=True, help="source wav (content)")
     ap.add_argument("-t", "--target", required=True, help="target wav (voice)")
@@ -74,7 +74,7 @@ def main():
     ap.add_argument("-n", "--timesteps", type=int, default=30)
     ap.add_argument("--mode", default="ml", choices=["pf", "em", "ml"])
     ap.add_argument("-o", "--output", default="./out/converted.wav")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     model = DiffVC(
         params.n_mels, params.channels, params.filters, params.heads,

@@ -92,3 +92,22 @@ def test_rank_aware_logger(capsys):
     assert logger.level == logging.INFO  # single-process -> primary
     logger.info("hello from primary")
     assert tl.get_logger() is logger  # cached
+
+
+def test_notebooks_parse_and_compile():
+    """The notebook entry points (reference inference.ipynb analogs) must
+    stay valid: JSON parses and every code cell compiles."""
+    import glob
+    import json
+
+    paths = sorted(glob.glob("notebooks/*.ipynb"))
+    assert len(paths) >= 2
+    for path in paths:
+        nb = json.load(open(path))
+        n_code = 0
+        for cell in nb["cells"]:
+            if cell["cell_type"] != "code":
+                continue
+            n_code += 1
+            compile("".join(cell["source"]), path, "exec")
+        assert n_code >= 2, path
