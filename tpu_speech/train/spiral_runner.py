@@ -500,6 +500,20 @@ class SpiralFinetuneRunner:
 
     @staticmethod
     def _load_pretrain(path):
+        if path.endswith((".ckpt", ".pt")):
+            # reference PyTorch-Lightning checkpoint (ctc_finetune.py:92-95
+            # loads these by param-prefix strip; here via compat converter)
+            import torch
+
+            from tpu_speech.compat.torch_spiral import convert_st2vec
+
+            sd = torch.load(path, map_location="cpu", weights_only=False)
+            params, batch_stats, teacher = convert_st2vec(sd)
+            return {
+                "params": params,
+                "teacher": teacher or None,
+                "batch_stats": batch_stats or None,
+            }
         import orbax.checkpoint as ocp
 
         restored = ocp.StandardCheckpointer().restore(path)
