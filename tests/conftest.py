@@ -20,6 +20,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# this host's XLA:CPU lowers default-precision matmuls/convs onto
+# bf16-capable instructions (avx512bf16/AMX) — ~3e-3 relative error, which
+# poisons parity tolerances. Pin true fp32 for the test tier.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 # this box has ONE cpu: XLA compiles dominate test wall time. Cache compiled
 # executables across test processes/runs (safe: keyed on HLO + flags).
 jax.config.update(

@@ -282,6 +282,24 @@ def install_stubs():
     _stub("torch_stft", STFT=_STFT)
 
 
+def _load_ref_config(config_name: str):
+    """Load a reference experiment-config module under a synthetic package
+    anchored at the reference's conf/spiral directory — the repo's own
+    cli/conf package would otherwise shadow the reference's `conf.spiral`
+    namespace when both are imported in one pytest process (and the config
+    files use relative imports among themselves)."""
+    import importlib
+
+    pkg_name = "_spiral_ref_conf"
+    if pkg_name not in sys.modules:
+        pkg = types.ModuleType(pkg_name)
+        pkg.__spec__ = _machinery.ModuleSpec(pkg_name, loader=None,
+                                             is_package=True)
+        pkg.__path__ = [f"{EXAMPLES_DIR}/conf/spiral"]
+        sys.modules[pkg_name] = pkg
+    return importlib.import_module(f"{pkg_name}.{config_name}")
+
+
 def load_st2vec_encoder(config_name: str = "spiral_base_pretrain_ls960"):
     """Returns (torch ST2VecEncoder instance, its encoder config)."""
     install_stubs()
@@ -297,8 +315,27 @@ def load_st2vec_encoder(config_name: str = "spiral_base_pretrain_ls960"):
     importlib.import_module("nemo.collections.asr.models.configs")
     from nemo.collections.asr.models.st2vec.st2vec_model import ST2VecEncoder
 
-    cfg_mod = importlib.import_module(f"conf.spiral.{config_name}")
+    cfg_mod = _load_ref_config(config_name)
     # the launcher converts the dataclass tree with OmegaConf.structured
     # before model construction (run_spiral.py:104-109) — mirror that
     enc_cfg = _to_cfg(cfg_mod.cfg.model.st2vec_encoder)
     return ST2VecEncoder(enc_cfg), enc_cfg
+
+
+def load_conv_asr_decoder(config_name: str = "spiral_base_finetune_ls100_subword"):
+    """Returns the genuine reference ConvASRDecoder (conv_asr.py:214) built
+    from a shipped finetune config's decoder settings."""
+    install_stubs()
+    if SPIRAL_DIR not in sys.path:
+        sys.path.insert(0, SPIRAL_DIR)
+    if EXAMPLES_DIR not in sys.path:
+        sys.path.insert(0, EXAMPLES_DIR)
+    import importlib
+
+    importlib.import_module("nemo.collections.asr.models.configs")
+    from nemo.collections.asr.modules.conv_asr import ConvASRDecoder
+
+    cfg_mod = _load_ref_config(config_name)
+    dec_cfg = _to_cfg(cfg_mod.cfg.model.decoder)
+    kwargs = {k: v for k, v in dec_cfg.items() if k != "_target_"}
+    return ConvASRDecoder(**kwargs), dec_cfg

@@ -140,3 +140,77 @@ def test_lightning_prefix_strip(reference, converted):
     flat_b = jax.tree.leaves(b)
     assert len(flat_a) == len(flat_b)
     assert all(np.array_equal(x, y) for x, y in zip(flat_a, flat_b))
+
+
+def test_ctc_decoder_forward_parity():
+    """Genuine reference ConvASRDecoder (finetune subword config) vs our
+    decoder with converted weights."""
+    from spiral_oracle import load_conv_asr_decoder
+
+    from tpu_speech.compat.torch_spiral import convert_conv_asr_decoder
+    from tpu_speech.models.spiral.ctc import ConvASRDecoder
+
+    ref, dec_cfg = load_conv_asr_decoder("spiral_base_finetune_ls100_char")
+    ref.eval()
+    params, batch_stats = convert_conv_asr_decoder(ref.state_dict())
+
+    rng = np.random.default_rng(2)
+    b, t, d = 2, 40, int(dec_cfg["feat_in"])
+    feats = rng.standard_normal((b, t, d)).astype(np.float32)
+    lens = np.array([t, t - 10], dtype=np.int32)
+    with torch.no_grad():
+        lp_t, lens_t = ref(
+            torch.from_numpy(feats).transpose(1, 2),
+            torch.from_numpy(lens.astype(np.int64)),
+        )
+    from tpu_speech.models.spiral.encoder import ConvLayerCfg
+
+    conv_cfgs = tuple(
+        ConvLayerCfg(int(c["filters"]), tuple(c["kernel_size"]),
+                     tuple(c["stride"]), c["norm_type"], c["act_func"],
+                     float(c["dropout"]))
+        for c in dec_cfg["conv_layers"]
+    )
+    assert len(conv_cfgs) == 3  # the char config's decoder stack
+    ours = ConvASRDecoder(
+        num_classes=len(dec_cfg["vocabulary"]), blank_pos="after_vocab_last",
+        conv_layers=conv_cfgs,
+        upsample_rate=int(dec_cfg["proj_upsampling"]["rate"]),
+        upsample_filters=int(dec_cfg["proj_upsampling"]["filters"]),
+    )
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    lp_j, lens_j = ours.apply(variables, jnp.asarray(feats), jnp.asarray(lens))
+    assert ours.blank_idx == ref.blank_idx
+    assert ours.num_classes_with_blank == ref.num_classes_with_blank
+    assert list(np.asarray(lens_j)) == list(lens_t.numpy())
+    tl = int(lens_t.min())
+    diff = np.max(np.abs(lp_t.numpy()[:, :tl] - np.asarray(lp_j)[:, :tl]))
+    assert diff < 2e-5, diff
+
+
+def test_convert_ctc_finetune_checkpoint(reference):
+    """Full finetuned-model checkpoint layout ({'encoder.*', 'decoder.*'})
+    splits and converts both halves."""
+    from spiral_oracle import load_conv_asr_decoder
+
+    from tpu_speech.compat.torch_spiral import convert_ctc_finetune
+
+    dec, _ = load_conv_asr_decoder("spiral_base_finetune_ls100_char")
+    # the finetune model drops the pretraining-only modules
+    # (st2vec_model.py:318-327) before saving
+    enc_sd = {k: v for k, v in reference.state_dict().items()
+              if not k.startswith(("target_", "predictor.", "projector."))}
+    sd = {"state_dict": {}}
+    sd["state_dict"].update(
+        {f"encoder.{k}": v for k, v in enc_sd.items()}
+    )
+    sd["state_dict"].update(
+        {f"decoder.{k}": v for k, v in dec.state_dict().items()}
+    )
+    (enc_params, enc_bs, teacher), (dec_params, dec_bs) = (
+        convert_ctc_finetune(sd)
+    )
+    assert "feature_encoder" in enc_params and not teacher
+    assert "decoder_proj" in dec_params

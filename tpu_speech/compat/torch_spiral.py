@@ -166,8 +166,10 @@ def convert_st2vec(state_dict) -> Tuple[Dict, Dict, Dict]:
     _convert_feature_encoder(
         sd, used, "feature_encoder", params.setdefault("feature_encoder", {})
     )
-    _convert_projector(sd, used, "projector",
-                       params.setdefault("projector", {}), {})
+    if any(k.startswith("projector.") for k in sd):
+        # absent after remove_pretraining_modules (st2vec_model.py:318-327)
+        _convert_projector(sd, used, "projector",
+                           params.setdefault("projector", {}), {})
     if any(k.startswith("predictor.") for k in sd):
         pred_bs: Dict = {}
         _convert_projector(sd, used, "predictor",
@@ -191,3 +193,63 @@ def convert_st2vec(state_dict) -> Tuple[Dict, Dict, Dict]:
     leftover = sorted(set(sd) - used)
     assert not leftover, f"unconsumed reference tensors: {leftover[:8]}"
     return params, batch_stats, teacher
+
+
+def convert_conv_asr_decoder(state_dict) -> Tuple[Dict, Dict]:
+    """Reference ``ConvASRDecoder`` state_dict (conv_asr.py:214-360) ->
+    (params, batch_stats) for our decoder (models/spiral/ctc.py):
+    ``conv_layers.N.{conv.conv,norm}`` -> ``conv_N/{conv,norm}``;
+    ``decoder_layers.0`` (1x1 conv to vocab) -> ``decoder_proj`` dense."""
+    sd = dict(state_dict)
+    used = set()
+    params: Dict = {}
+    batch_stats: Dict = {}
+    if "proj_upsampling.proj.conv.conv.weight" in sd:
+        _convert_conv1d(sd, used, "proj_upsampling.proj.conv.conv",
+                        params, ("proj_upsampling", "proj"))
+        if "proj_upsampling.norm.weight" in sd:
+            _convert_norm(sd, used, "proj_upsampling.norm",
+                          params, ("proj_upsampling", "norm"))
+    i = 0
+    while f"conv_layers.{i}.conv.conv.weight" in sd:
+        dst = (f"conv_{i}",)
+        _convert_conv1d(sd, used, f"conv_layers.{i}.conv.conv",
+                        params, dst + ("conv",))
+        norm = f"conv_layers.{i}.norm"
+        if f"{norm}.weight" in sd:  # norm_type=None layers carry no norm
+            _convert_norm(sd, used, norm, params, dst + ("norm",))
+        if f"{norm}.running_mean" in sd:
+            _set(batch_stats, dst + ("norm", "mean"),
+                 _np(sd[f"{norm}.running_mean"]))
+            _set(batch_stats, dst + ("norm", "var"),
+                 _np(sd[f"{norm}.running_var"]))
+            used.update({f"{norm}.running_mean", f"{norm}.running_var"})
+            if f"{norm}.num_batches_tracked" in sd:
+                used.add(f"{norm}.num_batches_tracked")
+        i += 1
+    w = _np(sd["decoder_layers.0.weight"])  # (V, C, 1)
+    _set(params, ("decoder_proj", "kernel"), np.transpose(w[:, :, 0], (1, 0)))
+    _set(params, ("decoder_proj", "bias"), _np(sd["decoder_layers.0.bias"]))
+    used.update({"decoder_layers.0.weight", "decoder_layers.0.bias"})
+    leftover = sorted(set(sd) - used)
+    assert not leftover, f"unconsumed decoder tensors: {leftover[:8]}"
+    return params, batch_stats
+
+
+def convert_ctc_finetune(state_dict):
+    """Full reference CTCFinetuneModel checkpoint -> (encoder trees,
+    decoder trees): encoder via convert_st2vec (the finetune model drops the
+    pretraining-only modules, st2vec_model.py:318-327), decoder via
+    convert_conv_asr_decoder."""
+    if "state_dict" in state_dict and not hasattr(
+        state_dict["state_dict"], "shape"
+    ):
+        state_dict = state_dict["state_dict"]
+    enc_sd = {k[len("encoder."):]: v for k, v in state_dict.items()
+              if k.startswith("encoder.")}
+    dec_sd = {k[len("decoder."):]: v for k, v in state_dict.items()
+              if k.startswith("decoder.")}
+    assert enc_sd and dec_sd, sorted(state_dict)[:5]
+    enc_params, enc_bs, teacher = convert_st2vec(enc_sd)
+    dec_params, dec_bs = convert_conv_asr_decoder(dec_sd)
+    return (enc_params, enc_bs, teacher), (dec_params, dec_bs)

@@ -54,8 +54,12 @@ class ConvASRDecoder(nn.Module):
     @nn.compact
     def __call__(self, x, lens, train: bool = False):
         if self.upsample_rate is not None:
+            # reference upsampling decoders: ln + relu + dropout after the
+            # reshape (spiral_base_finetune_ls100_char.py:59 ProjUpsampling
+            # rate=4, norm_type='ln', act_func='relu', dropout=0.1)
             x, lens = ProjUpsampling(
                 self.upsample_filters, (5,), self.upsample_rate,
+                norm_type="ln", act_func="relu", dropout=0.1,
                 name="proj_upsampling",
             )(x, lens, train=train)
         pad_mask = create_pad_mask(lens, x.shape[1])
