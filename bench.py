@@ -185,6 +185,47 @@ def bench_spiral_step(bf16: bool, batch_size: int = 24, crop: int = 250000):
     return float(np.median(times)) * 1e3
 
 
+def bench_gradtts_train_step(bf16: bool = False, batch_size: int = 16):
+    """Training step time at the reference recipe point (params.py:45-53:
+    batch 16, out_size=2-s crop, grad-clip 1, Adam 1e-4) — full 80-mel
+    model, MAS + crop + diffusion loss + update in one donated jit."""
+    import optax
+
+    from tpu_speech.ops.masks import fix_len_compatibility
+    from tpu_speech.train.gradtts import make_train_step
+    from tpu_speech.train.state import TrainState
+
+    model = GradTTS(n_vocab=len(symbols) + 1)
+    rng = np.random.default_rng(0)
+    t_x, t_y = 72, 512
+    out_size = int(fix_len_compatibility(2 * SAMPLE_RATE // HOP))
+    batch = {
+        "x": jnp.asarray(rng.integers(
+            1, len(symbols), size=(batch_size, t_x)).astype(np.int32)),
+        "x_lengths": jnp.full((batch_size,), t_x, dtype=jnp.int32),
+        "y": jnp.asarray(rng.standard_normal(
+            (batch_size, t_y, 80)).astype(np.float32)),
+        "y_lengths": jnp.full((batch_size,), t_y, dtype=jnp.int32),
+    }
+    params = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0)}, batch["x"][:1],
+        batch["x_lengths"][:1], batch["y"][:1, :64], jnp.array([64]),
+        jax.random.PRNGKey(1), train=False,
+    )
+    tx = optax.adam(1e-4)
+    state = TrainState.create({"params": params["params"]}, tx)
+    step = make_train_step(model, tx, out_size=out_size, bf16=bf16)
+    state, m = step(state, batch, jax.random.PRNGKey(0))
+    jax.device_get(m["loss"])
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        state, m = step(state, batch, jax.random.PRNGKey(i + 1))
+        jax.device_get(m["loss"])
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)) * 1e3
+
+
 def emit(metric, value, unit, vs_baseline):
     print(json.dumps({
         "metric": metric, "value": round(value, 6), "unit": unit,
@@ -211,6 +252,13 @@ def run_one(metric: str):
         # the vendored HiFi-GAN README claims 167x realtime on V100
         # (Grad-TTS/hifi-gan/README.md:18-20) — vocoder-only, apples to apples
         emit(metric, xrt, "x_realtime", xrt / 167.0)
+    elif metric == "gradtts_train_step_ms_fp32":
+        ms = bench_gradtts_train_step(bf16=False)
+        # no published baseline; vs_baseline = steps/sec (informational)
+        emit(metric, ms, "ms/step", 1000.0 / ms)
+    elif metric == "gradtts_train_step_ms_bf16":
+        ms = bench_gradtts_train_step(bf16=True)
+        emit(metric, ms, "ms/step", 1000.0 / ms)
     elif metric == "spiral_step_ms_fp32":
         ms = bench_spiral_step(bf16=False)
         emit(metric, ms, "ms/step", SPIRAL_TARGET_MS / ms)
@@ -279,6 +327,8 @@ ALL_METRICS = (
     "gradtts_rtf_10step",
     "gradtts_e2e_throughput_b16",
     "hifigan_throughput_b16",
+    "gradtts_train_step_ms_fp32",
+    "gradtts_train_step_ms_bf16",
     "spiral_step_ms_fp32",
     "spiral_step_ms_bf16",
 )
