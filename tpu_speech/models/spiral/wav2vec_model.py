@@ -23,7 +23,7 @@ TPU-first redesign rather than a port:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax
