@@ -33,18 +33,10 @@ def maybe_download(url, dest):
 
 
 def flac_to_wav(flac_path, wav_path):
-    """Decode FLAC to 16-bit wav. Uses ffmpeg/flac/sox, whichever exists."""
-    for cmd in (
-        ["ffmpeg", "-y", "-loglevel", "quiet", "-i", flac_path, wav_path],
-        ["flac", "-s", "-f", "-d", flac_path, "-o", wav_path],
-        ["sox", flac_path, wav_path],
-    ):
-        try:
-            subprocess.run(cmd, check=True, capture_output=True)
-            return True
-        except (subprocess.CalledProcessError, FileNotFoundError):
-            continue
-    return False
+    """Decode FLAC to 16-bit wav (shared host decode chain, data/wav.py)."""
+    from tpu_speech.data.wav import decode_to_wav
+
+    return decode_to_wav(flac_path, wav_path)
 
 
 def build_manifest(split_dir, wav_dir, manifest_path, sample_rate=16000):

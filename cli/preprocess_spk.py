@@ -8,16 +8,14 @@ provenance files."""
 
 import argparse
 import os
-import subprocess
 import sys
-import tempfile
 from datetime import datetime
 
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from tpu_speech.data.wav import read_wav
+from tpu_speech.data.wav import read_audio
 from tpu_speech.models.speaker_encoder import (
     PARTIALS_N_FRAMES,
     SAMPLING_RATE,
@@ -26,24 +24,6 @@ from tpu_speech.models.speaker_encoder import (
 )
 
 AUDIO_EXTS = (".wav", ".flac")
-
-
-def _read_audio(path: str):
-    if path.endswith(".wav"):
-        return read_wav(path)
-    # flac: decode via whichever host tool exists (get_librispeech_data.py)
-    with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
-        for cmd in (
-            ["ffmpeg", "-y", "-loglevel", "quiet", "-i", path, tmp.name],
-            ["flac", "-s", "-f", "-d", path, "-o", tmp.name],
-            ["sox", path, tmp.name],
-        ):
-            try:
-                if subprocess.run(cmd, capture_output=True).returncode == 0:
-                    return read_wav(tmp.name)
-            except FileNotFoundError:
-                continue
-    raise RuntimeError(f"no decoder available for {path}")
 
 
 def preprocess_speaker_dirs(datasets_root: str, out_dir: str,
@@ -76,7 +56,7 @@ def preprocess_speaker_dirs(datasets_root: str, out_dir: str,
                     out_fpath = os.path.join(spk_out, out_fname)
                     if skip_existing and os.path.exists(out_fpath):
                         continue
-                    wav, sr = _read_audio(in_fpath)
+                    wav, sr = read_audio(in_fpath)
                     wav = preprocess_wav(wav, sr)
                     if len(wav) == 0:
                         continue

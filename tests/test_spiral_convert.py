@@ -177,6 +177,9 @@ def test_ctc_decoder_forward_parity():
         conv_layers=conv_cfgs,
         upsample_rate=int(dec_cfg["proj_upsampling"]["rate"]),
         upsample_filters=int(dec_cfg["proj_upsampling"]["filters"]),
+        upsample_norm=dec_cfg["proj_upsampling"]["norm_type"],
+        upsample_act=dec_cfg["proj_upsampling"]["act_func"],
+        upsample_dropout=float(dec_cfg["proj_upsampling"]["dropout"]),
     )
     variables = {"params": params}
     if batch_stats:

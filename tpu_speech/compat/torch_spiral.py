@@ -168,8 +168,11 @@ def convert_st2vec(state_dict) -> Tuple[Dict, Dict, Dict]:
     )
     if any(k.startswith("projector.") for k in sd):
         # absent after remove_pretraining_modules (st2vec_model.py:318-327)
+        proj_bs: Dict = {}
         _convert_projector(sd, used, "projector",
-                           params.setdefault("projector", {}), {})
+                           params.setdefault("projector", {}), proj_bs)
+        if proj_bs:
+            batch_stats["projector"] = proj_bs
     if any(k.startswith("predictor.") for k in sd):
         pred_bs: Dict = {}
         _convert_projector(sd, used, "predictor",
@@ -181,8 +184,18 @@ def convert_st2vec(state_dict) -> Tuple[Dict, Dict, Dict]:
             sd, used, "target_feature_encoder",
             teacher.setdefault("feature_encoder", {}),
         )
+        t_proj_bs: Dict = {}
         _convert_projector(sd, used, "target_projector",
-                           teacher.setdefault("projector", {}), {})
+                           teacher.setdefault("projector", {}), t_proj_bs)
+        if t_proj_bs:
+            # our teacher apply reuses the model's single batch_stats
+            # collection; separate teacher BN statistics have no slot —
+            # refuse loudly rather than silently drop them. (The shipped
+            # SPIRAL configs use LN projectors, so this never fires there.)
+            raise NotImplementedError(
+                "EMA-teacher projector carries BatchNorm statistics; "
+                "separate teacher batch_stats are not representable here"
+            )
 
     # constant buffers: shape-checked, not parameters here
     for buf in ("mask_emb", "wav2spec.featurizer.window",

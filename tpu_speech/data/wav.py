@@ -22,6 +22,36 @@ def read_wav(path: str):
     return wav, sr
 
 
+def decode_to_wav(src_path: str, wav_path: str) -> bool:
+    """Decode a compressed audio file (flac, ...) to 16-bit wav with
+    whichever host tool exists (ffmpeg/flac/sox). Returns success."""
+    import subprocess
+
+    for cmd in (
+        ["ffmpeg", "-y", "-loglevel", "quiet", "-i", src_path, wav_path],
+        ["flac", "-s", "-f", "-d", src_path, "-o", wav_path],
+        ["sox", src_path, wav_path],
+    ):
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+            return True
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            continue
+    return False
+
+
+def read_audio(path: str):
+    """Read wav natively; decode other formats via decode_to_wav first."""
+    if path.lower().endswith(".wav"):
+        return read_wav(path)
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
+        if not decode_to_wav(path, tmp.name):
+            raise RuntimeError(f"no decoder available for {path}")
+        return read_wav(tmp.name)
+
+
 def write_wav(path: str, wav: np.ndarray, sr: int):
     """Write float wav in [-1, 1] as 16-bit PCM."""
     wav = np.asarray(wav)

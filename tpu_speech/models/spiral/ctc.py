@@ -38,6 +38,11 @@ class ConvASRDecoder(nn.Module):
     blank_pos: str = "vocab_first"
     upsample_rate: Optional[int] = None
     upsample_filters: int = 512
+    # reference upsampling-decoder recipe defaults
+    # (spiral_base_finetune_ls100_char.py:59)
+    upsample_norm: Optional[str] = "ln"
+    upsample_act: Optional[str] = "relu"
+    upsample_dropout: float = 0.1
 
     @property
     def blank_idx(self) -> int:
@@ -54,13 +59,10 @@ class ConvASRDecoder(nn.Module):
     @nn.compact
     def __call__(self, x, lens, train: bool = False):
         if self.upsample_rate is not None:
-            # reference upsampling decoders: ln + relu + dropout after the
-            # reshape (spiral_base_finetune_ls100_char.py:59 ProjUpsampling
-            # rate=4, norm_type='ln', act_func='relu', dropout=0.1)
             x, lens = ProjUpsampling(
                 self.upsample_filters, (5,), self.upsample_rate,
-                norm_type="ln", act_func="relu", dropout=0.1,
-                name="proj_upsampling",
+                norm_type=self.upsample_norm, act_func=self.upsample_act,
+                dropout=self.upsample_dropout, name="proj_upsampling",
             )(x, lens, train=train)
         pad_mask = create_pad_mask(lens, x.shape[1])
         for i, c in enumerate(self.conv_layers):
@@ -86,6 +88,9 @@ class CTCFinetuneModel(nn.Module):
     # (spiral_base_finetune_ls100_char.py ProjUpsampling rate=4)
     upsample_rate: Optional[int] = None
     upsample_filters: int = 512
+    upsample_norm: Optional[str] = "ln"
+    upsample_act: Optional[str] = "relu"
+    upsample_dropout: float = 0.1
 
     @property
     def blank_idx(self) -> int:
@@ -101,6 +106,9 @@ class CTCFinetuneModel(nn.Module):
             self.num_classes, self.decoder_convs, self.blank_pos,
             upsample_rate=self.upsample_rate,
             upsample_filters=self.upsample_filters,
+            upsample_norm=self.upsample_norm,
+            upsample_act=self.upsample_act,
+            upsample_dropout=self.upsample_dropout,
         )
 
     def __call__(self, specs, spec_lens, train: bool = False,

@@ -122,24 +122,30 @@ def train_speaker_encoder(
             state = restored
             print(f"Resuming '{run_id}' at step {int(state.step)}.")
     step_fn = make_ge2e_train_step(model, tx)
-    losses, eers = [], []
+    # every step's (loss, sim) is kept as device arrays and fetched only at
+    # report time, so the dispatch pipeline stays async between reports; the
+    # reference averages loss/EER over the window since the last report
+    # (encoder/train.py vis.update)
+    window = []
     start = int(jax.device_get(state.step))
     for step in range(start + 1, max_steps + 1):
         frames = sampler.next_batch().reshape(
             speakers_per_batch, utterances_per_speaker, n_frames, -1
         )
         state, metrics = step_fn(state, jnp.asarray(frames))
+        window.append((metrics["loss"], metrics["sim"]))
         if step % vis_every == 0:
-            m = jax.device_get(metrics)
-            losses.append(float(m["loss"]))
-            eers.append(equal_error_rate(
-                np.asarray(m["sim"]), speakers_per_batch
-            ))
+            fetched = jax.device_get(window)
+            losses = [float(lo) for lo, _ in fetched]
+            eers = [
+                equal_error_rate(np.asarray(sim), speakers_per_batch)
+                for _, sim in fetched
+            ]
             print(
                 f"Step {step:6d}   Loss: {np.mean(losses):.4f}   "
                 f"EER: {np.mean(eers):.4f}", flush=True,
             )
-            losses.clear(), eers.clear()
+            window.clear()
         if umap_every and step % umap_every == 0:
             os.makedirs(backup_dir, exist_ok=True)
             embeds = np.asarray(jax.device_get(metrics["embeds"]))

@@ -449,6 +449,9 @@ class SpiralFinetuneRunner:
                 dec_kw["decoder_convs"] = tuple(dec_cfg.conv_layers)
             dec_kw["upsample_rate"] = dec_cfg.upsample_rate
             dec_kw["upsample_filters"] = dec_cfg.upsample_filters
+            for k in ("upsample_norm", "upsample_act", "upsample_dropout"):
+                if hasattr(dec_cfg, k):
+                    dec_kw[k] = getattr(dec_cfg, k)
         self.model = CTCFinetuneModel(
             self.enc_cfg, tokenizer.vocab_size, blank_pos, **dec_kw
         )

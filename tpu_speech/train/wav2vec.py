@@ -29,9 +29,12 @@ def host_time_mask(cfg: Wav2Vec2Config, wav_lens: np.ndarray, max_frames: int,
                    rng: Optional[np.random.Generator] = None) -> np.ndarray:
     """(B, max_frames) bool span mask over conv-output frames (the reference
     computes mask indices in numpy too, wav2vec_model.py:391-429)."""
-    feat_lens = np.asarray(
-        conv_subsampled_lens(cfg, jnp.asarray(wav_lens))
-    )
+    # same arithmetic as conv_subsampled_lens, pure numpy — this runs on the
+    # per-batch host data path, where a device round trip is wasted latency
+    feat_lens = np.asarray(wav_lens)
+    for _, k, s in cfg.conv_layers:
+        feat_lens = (feat_lens - k) // s + 1
+    feat_lens = np.maximum(feat_lens, 0)
     mask, _ = compute_mask_indices(
         (len(feat_lens), max_frames), feat_lens, cfg.mask_prob,
         cfg.mask_length, shrink_to_batch_min=False, rng=rng,

@@ -89,6 +89,9 @@ class DecoderConfig:
     conv_layers: Any = None          # Tuple[ConvLayerCfg, ...]; None = default
     upsample_rate: Optional[int] = None
     upsample_filters: int = 512
+    upsample_norm: Optional[str] = "ln"      # ProjUpsampling norm_type
+    upsample_act: Optional[str] = "relu"     # ProjUpsampling act_func
+    upsample_dropout: float = 0.1
     blank_pos: str = "vocab_first"   # or 'after_vocab_last'
 
 
