@@ -144,3 +144,72 @@ def test_base_config_matches_reference_recipe():
     assert cfg.latent_vars == 320 and cfg.latent_groups == 2
     assert cfg.mask_prob == 0.65 and cfg.mask_length == 10
     assert cfg.logit_temp == 0.1 and cfg.final_dim == 256
+
+
+def test_wav2vec_ctc_finetune(rng):
+    """Wav2Vec2CTCModel (the reference's wav2vec CTC wrapper): pretrained
+    encoder grafts in, CTC loss optimizes, frozen-encoder gate works."""
+    import optax
+
+    from tpu_speech.models.spiral.ctc import ctc_loss
+    from tpu_speech.models.spiral.wav2vec_model import (
+        Wav2Vec2CTCModel,
+        Wav2Vec2Model,
+        load_wav2vec_pretrained_encoder,
+    )
+
+    b, s = 2, 200
+    wavs = jnp.asarray(rng.standard_normal((b, s)).astype(np.float32))
+    lens = jnp.array([s, s - 40], dtype=jnp.int32)
+
+    # pretrain params to graft
+    pre = Wav2Vec2Model(TINY).init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "gumbel": jax.random.PRNGKey(2)}, wavs, lens,
+    )["params"]
+
+    model = Wav2Vec2CTCModel(TINY, num_classes=5)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
+        wavs, lens,
+    )
+    params = load_wav2vec_pretrained_encoder(variables["params"], pre)
+    # encoder weights really came from the pretrain tree
+    np.testing.assert_array_equal(
+        np.asarray(params["encoder"]["mask_emb"]),
+        np.asarray(pre["mask_emb"]),
+    )
+    assert "quantizer" not in params["encoder"]
+
+    labels = jnp.asarray(rng.integers(0, 5, size=(b, 4)).astype(np.int32))
+    label_lens = jnp.array([4, 3], dtype=jnp.int32)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(2,))
+    def step(params, opt_state, freeze):
+        def loss_fn(p):
+            lp, ol = model.apply(
+                {"params": p}, wavs, lens, train=False,
+                freeze_encoder=freeze,
+            )
+            return ctc_loss(lp, ol, labels, label_lens, model.blank_idx)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss, grads
+
+    # frozen: encoder gradient must be exactly zero
+    _, _, loss0, grads = step(params, opt_state, True)
+    enc_gnorm = optax.global_norm(grads["encoder"])
+    assert float(enc_gnorm) == 0.0
+    assert np.isfinite(float(loss0))
+
+    # unfrozen: loss decreases on the fixed batch
+    p, o = params, opt_state
+    losses = []
+    for _ in range(4):
+        p, o, loss, _ = step(p, o, False)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]

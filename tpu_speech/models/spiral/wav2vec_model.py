@@ -248,3 +248,55 @@ class Wav2Vec2Model(nn.Module):
         (wav2vec_model.py:379-384)."""
         return self(wavs, wav_lens, time_mask=None, train=train,
                     features_only=True)
+
+
+class Wav2Vec2CTCModel(nn.Module):
+    """wav2vec 2.0 encoder + conv CTC head — the reference's wav2vec
+    finetune wrapper (spec2vec/ctc_finetune_model.py:42-73; shipped but
+    gated off by the `encoder_type == 'st'` assert in ctc_finetune.py:89).
+    Encoder-freeze-for-N-updates becomes a stop_gradient gate like the
+    SPIRAL finetune model."""
+
+    cfg: Wav2Vec2Config
+    num_classes: int
+    blank_pos: str = "after_vocab_last"
+
+    @property
+    def blank_idx(self) -> int:
+        if self.blank_pos == "vocab_first":
+            return 0
+        if self.blank_pos == "after_vocab_last":
+            return self.num_classes
+        return self.num_classes - 1
+
+    def setup(self):
+        from tpu_speech.models.spiral.ctc import ConvASRDecoder
+
+        self.encoder = Wav2Vec2Model(self.cfg, name="encoder")
+        self.decoder = ConvASRDecoder(
+            self.num_classes, blank_pos=self.blank_pos, name="decoder"
+        )
+
+    def __call__(self, wavs, wav_lens, time_mask=None, train: bool = False,
+                 freeze_encoder: bool = False):
+        """time_mask: optional host span mask — the reference masks during
+        finetune training as a SpecAugment-style regularizer
+        (ctc_finetune_model.py:56 `mask=self.training`)."""
+        ctx, feat_lens = self.encoder(
+            wavs, wav_lens, time_mask=time_mask, train=train,
+            features_only=True,
+        )
+        if freeze_encoder:
+            ctx = jax.lax.stop_gradient(ctx)
+        return self.decoder(ctx, feat_lens, train=train)
+
+
+def load_wav2vec_pretrained_encoder(finetune_params, pretrain_params):
+    """Graft pretrained wav2vec params into the finetune composite (the
+    reference's param-prefix-strip load, ctc_finetune.py:511-533); the
+    pretraining-only modules are dropped."""
+    drop = {"quantizer", "project_q", "final_proj"}
+    encoder = {k: v for k, v in pretrain_params.items() if k not in drop}
+    out = dict(finetune_params)
+    out["encoder"] = encoder
+    return out
