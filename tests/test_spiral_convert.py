@@ -217,3 +217,29 @@ def test_convert_ctc_finetune_checkpoint(reference):
     )
     assert "feature_encoder" in enc_params and not teacher
     assert "decoder_proj" in dec_params
+
+
+def test_genuine_featurizer_parity(reference):
+    """The genuine reference wav2spec (AudioToMelSpectrogramPreprocessor ->
+    FilterbankFeatures, features.py:228-455) vs our wav_to_spec on the same
+    waveforms: dither off (eval), preemph + STFT + mel + log + per-feature
+    norm + pad-to-16."""
+    from tpu_speech.models.spiral.st2vec import spiral_base_config, wav_to_spec
+
+    rng = np.random.default_rng(0)
+    wavs = (rng.standard_normal((2, 32000)) * 0.1).astype(np.float32)
+    lens = np.array([32000, 24000], dtype=np.int32)
+    with torch.no_grad():
+        feats_t, lens_t = reference.wav2spec(
+            input_signal=torch.from_numpy(wavs),
+            length=torch.from_numpy(lens.astype(np.int64)),
+        )
+    fj, lj = wav_to_spec(
+        spiral_base_config(), jnp.asarray(wavs), jnp.asarray(lens)
+    )
+    assert list(np.asarray(lj)) == list(lens_t.numpy())
+    tv = int(lens_t.min())
+    diff = np.max(np.abs(
+        feats_t.numpy().transpose(0, 2, 1)[:, :tv] - np.asarray(fj)[:, :tv]
+    ))
+    assert diff < 5e-4, diff
