@@ -172,3 +172,41 @@ def test_dec_train_step_freezes_encoder(rng):
     enc_after = jax.device_get(state.params["params"]["encoder"])
     for a, b_ in zip(jax.tree.leaves(enc_before), jax.tree.leaves(enc_after)):
         np.testing.assert_array_equal(a, b_)
+
+
+@pytest.mark.slow
+def test_diffvc_encoder_overfits(rng):
+    """Stage-1 avg-voice encoder learns: masked-MSE loss on a fixed batch
+    drops over repeated steps (reference train_enc.py validates by loss)."""
+    import optax
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_speech.models.diffvc.encoder import FwdDiffusion
+    from tpu_speech.train.diffvc import make_enc_train_step
+    from tpu_speech.train.state import TrainState
+
+    model = FwdDiffusion(n_feats=8, channels=16, filters=32, heads=2,
+                         layers=1, kernel=3, dropout=0.0, window_size=2,
+                         dim=16)
+    b, t = 4, 32
+    x = jnp.asarray(rng.standard_normal((b, t, 8)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((b, t, 8)).astype(np.float32))
+    lengths = jnp.full((b,), t, dtype=jnp.int32)
+    mask = jnp.ones((b, t, 1))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, y, mask, train=True, method=FwdDiffusion.compute_loss,
+    )
+    tx = optax.adam(2e-3)
+    state = TrainState.create({"params": params["params"]}, tx)
+    step = make_enc_train_step(model, tx)
+    batch = {"x": x, "y": y, "lengths": lengths}
+    first = None
+    for i in range(60):
+        state, m = step(state, batch, jax.random.PRNGKey(2))
+        if i == 0:
+            first = float(jax.device_get(m["loss"]))
+    last = float(jax.device_get(m["loss"]))
+    assert last < 0.5 * first, (first, last)
