@@ -55,7 +55,14 @@ class DataLoader:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
         if self.num_shards > 1:
+            # every shard must yield the SAME number of items: each batch
+            # drives a collective step over the global mesh, so a process
+            # with one extra batch would launch a step its peers never join
+            # (multi-controller hang). Truncate to the common shard length
+            # (DistributedSampler pads instead; truncation keeps batches
+            # duplicate-free and loses < num_shards items per epoch).
             order = order[self.shard_id :: self.num_shards]
+            order = order[: n // self.num_shards]
             n = len(order)
         batches = []
         for i in range(0, n - self.batch_size + 1, self.batch_size):

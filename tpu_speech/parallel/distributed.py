@@ -76,23 +76,6 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
-def local_batch_slice(global_batch_size: int) -> slice:
-    """This process's contiguous slice of a global batch.
-
-    Contiguity matches the device order of a mesh built from ``jax.devices()``
-    (process-major), so ``jax.make_array_from_process_local_data`` assembles
-    the same global array regardless of the process count.
-    """
-    n, i = jax.process_count(), jax.process_index()
-    if global_batch_size % n:
-        raise ValueError(
-            f"global batch {global_batch_size} not divisible by "
-            f"{n} processes"
-        )
-    per = global_batch_size // n
-    return slice(i * per, (i + 1) * per)
-
-
 def require_multiprocess(num_nodes: int) -> None:
     """Fail loudly if a multi-node launch wasn't actually federated
     (replaces the reference's silent PL fallback; a --num_nodes flag that

@@ -96,6 +96,8 @@ def _log_mel_and_audio(trainer, tag: str, log_mel, epoch: int,
 
     from tpu_speech.data.wav import write_wav
 
+    if not getattr(trainer, "primary", True):
+        return  # host-side writes only; the global-mesh jit already ran
     mel = np.asarray(log_mel)
     if trainer.tb is not None:
         trainer.tb.add_image(
@@ -245,6 +247,8 @@ class DiffVCTrainer:
         if epoch % self.save_every == 0:
             if self.primary:
                 self.ckpt.save(self.iteration, jax.device_get(self.state))
-            if self.preview_fn is not None and self.primary:
+            if self.preview_fn is not None:
+                # ALL processes must launch the preview's jitted computation
+                # (params span the global mesh); only the primary writes output
                 self.preview_fn(self, epoch)
         return mean_loss

@@ -215,6 +215,10 @@ class GradTTSTrainer:
         n_frames = 0
         for batch in loader:
             rng = jax.random.fold_in(base_rng, self.iteration)
+            # count frames from the raw host batch BEFORE sharding: after
+            # shard_batch the lengths span non-addressable devices on
+            # multi-host (device_get would raise) and cost a sync otherwise
+            n_frames += int(np.sum(np.asarray(batch["y_lengths"])))
             batch = shard_batch(self.mesh, batch)
             self.timer.tick("step")
             self.state, metrics = self.train_step(self.state, batch, rng)
@@ -231,7 +235,6 @@ class GradTTSTrainer:
                     self.tb.add_scalar("training/step_time_ms", st["mean_s"] * 1e3, self.iteration)
             for k in agg:
                 agg[k].append(float(m[k]))
-            n_frames += int(np.sum(jax.device_get(batch["y_lengths"])))
             self.iteration += 1
 
         dt = time.time() - t0

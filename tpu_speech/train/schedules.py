@@ -72,8 +72,9 @@ def inverse_sqrt_annealing(lr, warmup_steps):
         import jax.numpy as jnp
 
         s = jnp.maximum(step.astype(float) if hasattr(step, "astype") else float(step), 1.0)
-        warm = jnp.clip(s / max(warmup_steps, 1), 0.0, 1.0)
-        decay = jnp.sqrt(warmup_steps / jnp.maximum(s, warmup_steps))
+        w = max(warmup_steps, 1)  # warmup_steps=0 must not zero the lr
+        warm = jnp.clip(s / w, 0.0, 1.0)
+        decay = jnp.sqrt(w / jnp.maximum(s, w))
         return lr * warm * decay
 
     return schedule

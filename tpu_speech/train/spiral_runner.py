@@ -199,6 +199,8 @@ class SpiralPretrainRunner:
 
         self.timer = StepTimer()
         self.host_rng = np.random.default_rng(distributed.process_index())
+        self._micro_buf = []
+        self._micro_sec = 0.0
         self.iteration = 0
 
     def resume_if_exists(self):
@@ -226,17 +228,19 @@ class SpiralPretrainRunner:
         ds_cfg = m.validation_ds
         if ds_cfg is None:
             return float("nan")
-        dataset = AudioDataset(
-            ds_cfg.manifest_filepath, ds_cfg.sample_rate,
-            m.train_ds.crop_size, ds_cfg.min_duration, ds_cfg.max_duration,
-            return_both=True, dup_factor=getattr(ds_cfg, "dup_factor", 1),
-        )
-        loader = DataLoader(
-            dataset, ds_cfg.batch_size * jax.local_device_count(),
-            self.collate, shuffle=False, num_workers=ds_cfg.num_workers,
-            shard_id=distributed.process_index(),
-            num_shards=distributed.process_count(),
-        )
+        if self._val_loader is None:  # manifest parse + loader built once
+            dataset = AudioDataset(
+                ds_cfg.manifest_filepath, ds_cfg.sample_rate,
+                m.train_ds.crop_size, ds_cfg.min_duration, ds_cfg.max_duration,
+                return_both=True, dup_factor=getattr(ds_cfg, "dup_factor", 1),
+            )
+            self._val_loader = DataLoader(
+                dataset, ds_cfg.batch_size * jax.local_device_count(),
+                self.collate, shuffle=False, num_workers=ds_cfg.num_workers,
+                shard_id=distributed.process_index(),
+                num_shards=distributed.process_count(),
+            )
+        loader = self._val_loader
         if self._val_fn is None:
             model, cfg = self.model, self.enc_cfg
             from tpu_speech.train.spiral import make_pretrain_step
@@ -333,6 +337,7 @@ class SpiralPretrainRunner:
         return val
 
     _val_fn = None
+    _val_loader = None
 
     def _augment(self, raw, micro_idx: int = 0):
         # shift scalars seeded by (global step, micro index) so all processes
@@ -348,22 +353,27 @@ class SpiralPretrainRunner:
     def train_epoch(self, epoch: int):
         losses, accs = [], []
         t0, n_sec = time.time(), 0.0
-        micro_buf = []
+        sr = self.cfg.model.train_ds.sample_rate
         for raw in self.loader:
-            n_sec += (
-                float(np.sum(raw["wav_lens"]))
-                / self.cfg.model.train_ds.sample_rate
-            )
             if self.accum > 1:
-                micro_buf.append(self._augment(raw, micro_idx=len(micro_buf)))
-                if len(micro_buf) < self.accum:
+                # leftover micro-batches persist across epochs instead of
+                # being dropped; audio seconds are counted when consumed so
+                # the throughput log matches the steps actually executed
+                self._micro_buf.append(
+                    self._augment(raw, micro_idx=len(self._micro_buf))
+                )
+                self._micro_sec += float(np.sum(raw["wav_lens"])) / sr
+                if len(self._micro_buf) < self.accum:
                     continue
                 batch = jax.tree.map(
-                    lambda *xs: np.stack(xs), *micro_buf
+                    lambda *xs: np.stack(xs), *self._micro_buf
                 )
-                micro_buf = []
+                self._micro_buf = []
+                n_sec += self._micro_sec
+                self._micro_sec = 0.0
                 batch = shard_microbatches(self.mesh, batch)
             else:
+                n_sec += float(np.sum(raw["wav_lens"])) / sr
                 batch = shard_batch(self.mesh, self._augment(raw))
             self.timer.tick("step")
             self.state, metrics = self.step_fn(
@@ -456,6 +466,12 @@ class SpiralFinetuneRunner:
             self.enc_cfg, tokenizer.vocab_size, blank_pos, **dec_kw
         )
         spec_len = _spec_len(max_samples, sr)
+        self.spec_len = spec_len
+        self.sample_rate = sr
+        self.host_rng = np.random.default_rng(
+            1 + distributed.process_index()
+        )
+        self._micro_buf = []
         specs = jnp.zeros((1, spec_len, self.enc_cfg.num_features))
         lens = jnp.full((1,), spec_len)
         variables = jax.jit(
@@ -542,17 +558,37 @@ class SpiralFinetuneRunner:
             state.params,
         )
 
+    def _train_masks(self, wav_lens):
+        """Spec-masking as a SpecAugment-style regularizer during finetune
+        training (reference ctc_finetune.py:394-424 passes mask=training
+        into the encoder; same host-side mask generation as pretrain)."""
+        from tpu_speech.models.spiral.masking import make_student_masks
+
+        hop = int(0.01 * self.sample_rate)
+        spec_lens = np.ceil(np.asarray(wav_lens) / hop).astype(np.int32)
+        return make_student_masks(
+            len(spec_lens), self.spec_len, self.enc_cfg.num_features,
+            spec_lens, self.enc_cfg.mask_prob, self.enc_cfg.mask_length,
+            self.enc_cfg.mask_channel_prob, self.enc_cfg.mask_channel_length,
+            rng=self.host_rng,
+        )
+
     def train_epoch(self, epoch: int):
         losses = []
-        micro_buf = []
         for raw in self.loader:
             batch = {k: v for k, v in raw.items() if k != "texts"}
+            batch["time_mask"], batch["chan_mask"] = self._train_masks(
+                batch["wav_lens"]
+            )
             if self.accum > 1:
-                micro_buf.append(batch)
-                if len(micro_buf) < self.accum:
+                # leftovers persist across epochs rather than being dropped
+                self._micro_buf.append(batch)
+                if len(self._micro_buf) < self.accum:
                     continue
-                batch = jax.tree.map(lambda *xs: np.stack(xs), *micro_buf)
-                micro_buf = []
+                batch = jax.tree.map(
+                    lambda *xs: np.stack(xs), *self._micro_buf
+                )
+                self._micro_buf = []
                 batch = shard_microbatches(self.mesh, batch)
             else:
                 batch = shard_batch(self.mesh, batch)
@@ -573,7 +609,9 @@ class SpiralFinetuneRunner:
         ds_cfg = self.cfg.model.validation_ds
         if ds_cfg is None:
             return {}
-        results = self.evaluate(manifest=ds_cfg.manifest_filepath)
+        results = self.evaluate(
+            manifest=ds_cfg.manifest_filepath, ds_cfg=ds_cfg
+        )
         if self.primary:
             if self.tb is not None:
                 self.tb.add_scalar("val/wer", results["wer"], self.iteration)
@@ -652,10 +690,14 @@ class SpiralFinetuneRunner:
         export_fn(infer, example, path)
         return path
 
-    def evaluate(self, manifest: Optional[str] = None, save_logits_dir=None):
-        """Test-mode WER (spiral_pretrain.py:140-190)."""
+    def evaluate(self, manifest: Optional[str] = None, save_logits_dir=None,
+                 ds_cfg=None):
+        """Test-mode WER (spiral_pretrain.py:140-190). ds_cfg selects the
+        dataset knobs (sample rate, batch size, workers); defaults to
+        test_ds, but validate() passes validation_ds so validation audio is
+        not loaded with test-set settings."""
         m = self.cfg.model
-        ds_cfg = m.test_ds or m.validation_ds
+        ds_cfg = ds_cfg or m.test_ds or m.validation_ds
         manifest = manifest or ds_cfg.manifest_filepath
         dataset = AudioToTextDataset(
             manifest, self.tokenizer, sample_rate=ds_cfg.sample_rate,
