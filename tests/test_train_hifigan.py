@@ -1,0 +1,209 @@
+"""HiFi-GAN GAN training loop: step mechanics, learning smoke, dataset.
+
+The reference vendors HiFi-GAN inference-only (SURVEY §2.1 — "training code
+not wired"); the trainer here implements the published upstream recipe, so
+these tests validate the recipe's semantics (disc-then-gen update order,
+45x on-device mel loss, feature matching) rather than parity with reference
+code that doesn't exist.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_speech.models.hifigan import (
+    Generator,
+    MultiPeriodDiscriminator,
+    MultiScaleDiscriminator,
+)
+from tpu_speech.train.hifigan import (
+    GANTrainState,
+    HiFiGANTrainer,
+    make_gan_train_step,
+    make_optimizers,
+)
+
+# tiny operating point: hop = prod(upsample_rates) = 16
+MEL_CFG = dict(n_fft=64, num_mels=8, sampling_rate=1600, hop_size=16,
+               win_size=64, fmin=0.0, fmax=800.0)
+SEGMENT = 256  # -> 16 mel frames
+
+
+def tiny_models():
+    gen = Generator(
+        upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),),
+    )
+    mpd = MultiPeriodDiscriminator(periods=(2, 3))
+    msd = MultiScaleDiscriminator()
+    return gen, mpd, msd
+
+
+def make_batch(b=2, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0, 1, SEGMENT, dtype=np.float32)
+    wav = 0.5 * np.sin(2 * np.pi * 110 * t)[None, :] * np.ones((b, 1))
+    wav = (wav + 0.05 * rng.standard_normal((b, SEGMENT))).astype(np.float32)
+    return {"wav": jnp.asarray(wav)}
+
+
+def make_state_and_step(bf16=False, lr=2e-4):
+    gen, mpd, msd = tiny_models()
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    mel0 = jnp.zeros((1, SEGMENT // MEL_CFG["hop_size"], MEL_CFG["num_mels"]))
+    wav0 = jnp.zeros((1, SEGMENT))
+    tx_g, tx_d = make_optimizers(lr, steps_per_epoch=10)
+    state = GANTrainState.create(
+        gen.init(k1, mel0)["params"],
+        mpd.init(k2, wav0, wav0)["params"],
+        msd.init(k3, wav0, wav0)["params"],
+        tx_g, tx_d,
+    )
+    step = make_gan_train_step(gen, mpd, msd, tx_g, tx_d, MEL_CFG, bf16=bf16)
+    return state, step
+
+
+def test_gan_step_runs_and_updates_both_sides():
+    state, step = make_state_and_step()
+    g0 = jax.device_get(state.gen)
+    d0 = jax.device_get(state.disc)
+    state, m = step(state, make_batch(), jax.random.PRNGKey(0))
+    m = jax.device_get(m)
+    for k, v in m.items():
+        assert np.isfinite(v), (k, v)
+    assert m["loss_gen"] > 0 and m["loss_disc"] > 0
+    # both parameter sets moved
+    g_moved = jax.tree.reduce(
+        lambda a, b: a or b,
+        jax.tree.map(lambda a, b: bool(np.any(a != b)), g0,
+                     jax.device_get(state.gen)))
+    d_moved = jax.tree.reduce(
+        lambda a, b: a or b,
+        jax.tree.map(lambda a, b: bool(np.any(a != b)), d0,
+                     jax.device_get(state.disc)))
+    assert g_moved and d_moved
+    assert int(state.step) == 1
+
+
+def test_gan_step_bf16_finite():
+    state, step = make_state_and_step(bf16=True)
+    state, m = step(state, make_batch(), jax.random.PRNGKey(0))
+    m = jax.device_get(m)
+    assert np.isfinite(m["loss_gen"]) and np.isfinite(m["loss_disc"])
+    # master params stay fp32
+    assert all(
+        a.dtype == np.float32
+        for a in jax.tree.leaves(jax.device_get(state.gen)))
+
+
+@pytest.mark.slow
+def test_gan_learning_smoke():
+    """Mel error decreases on a fixed batch — the generator learns."""
+    state, step = make_state_and_step(lr=2e-3)
+    batch = make_batch()
+    first = None
+    for i in range(30):
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+        if first is None:
+            first = float(jax.device_get(m["mel_error"]))
+    last = float(jax.device_get(m["mel_error"]))
+    assert last < first * 0.85, (first, last)
+
+
+def test_fine_tuning_batch_uses_provided_mel():
+    """With batch['mel'] present (fine-tuning), the provided mel drives the
+    generator: a different mel for the same wav changes the generator loss."""
+    state, step = make_state_and_step()
+    batch = make_batch()
+    frames = SEGMENT // MEL_CFG["hop_size"]
+    mel_a = jnp.zeros((2, frames, MEL_CFG["num_mels"]))
+    mel_b = jnp.ones((2, frames, MEL_CFG["num_mels"]))
+    import jax.tree_util as jtu
+
+    copy = lambda s: jtu.tree_map(jnp.copy, s)
+    _, m_a = step(copy(state), dict(batch, mel=mel_a), jax.random.PRNGKey(0))
+    _, m_b = step(copy(state), dict(batch, mel=mel_b), jax.random.PRNGKey(0))
+    assert float(m_a["loss_gen"]) != float(m_b["loss_gen"])
+
+
+@pytest.mark.slow
+def test_trainer_epoch_and_validate(tmp_path):
+    from tpu_speech.parallel.mesh import make_mesh
+
+    gen, mpd, msd = tiny_models()
+    trainer = HiFiGANTrainer(
+        gen, mpd, msd, jax.random.PRNGKey(0), log_dir=str(tmp_path),
+        mel_cfg=MEL_CFG, steps_per_epoch=2, segment_size=SEGMENT,
+        save_every=1, mesh=make_mesh(n_devices=2),
+    )
+    batches = [jax.device_get(make_batch(seed=s)) for s in range(2)]
+    agg = trainer.train_epoch(batches, epoch=0, base_rng=jax.random.PRNGKey(1))
+    assert np.isfinite(agg["loss_gen"]) and np.isfinite(agg["mel_error"])
+    val = trainer.validate(batches, max_batches=1)
+    assert np.isfinite(val)
+    assert os.path.exists(os.path.join(str(tmp_path), "train.log"))
+    # checkpoint written and resumable
+    gen2, mpd2, msd2 = tiny_models()
+    trainer2 = HiFiGANTrainer(
+        gen2, mpd2, msd2, jax.random.PRNGKey(7), log_dir=str(tmp_path),
+        mel_cfg=MEL_CFG, steps_per_epoch=2, segment_size=SEGMENT,
+        mesh=make_mesh(n_devices=2),
+    )
+    assert trainer2.resume_if_exists()
+    assert trainer2.iteration == trainer.iteration
+    np.testing.assert_array_equal(
+        jax.tree.leaves(jax.device_get(trainer.state.gen))[0],
+        jax.tree.leaves(jax.device_get(trainer2.state.gen))[0],
+    )
+
+
+def test_mel_audio_dataset(tmp_path):
+    from tpu_speech.data.hifigan import (
+        MelAudioBatchCollate,
+        MelAudioDataset,
+        load_wav_files,
+    )
+    from tpu_speech.data.wav import write_wav
+
+    sr = MEL_CFG["sampling_rate"]
+    names = []
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        wav = rng.standard_normal(SEGMENT * 2).astype(np.float32) * 0.3
+        write_wav(str(tmp_path / f"utt{i}.wav"), wav, sr)
+        names.append(f"utt{i}")
+    flist = tmp_path / "train.txt"
+    flist.write_text("\n".join(f"{n}|text" for n in names))
+    files = load_wav_files(str(flist), str(tmp_path))
+    assert len(files) == 3 and files[0].endswith("utt0.wav")
+
+    ds = MelAudioDataset(files, segment_size=SEGMENT, sampling_rate=sr,
+                         hop_size=MEL_CFG["hop_size"])
+    item = ds[0]
+    assert item["wav"].shape == (SEGMENT,)
+    assert float(np.abs(item["wav"]).max()) == pytest.approx(0.95, abs=0.02)
+    batch = MelAudioBatchCollate()([ds[i] for i in range(3)])
+    assert batch["wav"].shape == (3, SEGMENT)
+
+    # fine-tuning mode: paired mel crops, consistent frame/sample offsets
+    mels_dir = tmp_path / "mels"
+    mels_dir.mkdir()
+    frames_total = SEGMENT * 2 // MEL_CFG["hop_size"]
+    for n in names:
+        np.save(mels_dir / f"{n}.npy",
+                rng.standard_normal(
+                    (frames_total, MEL_CFG["num_mels"])).astype(np.float32))
+    ft = MelAudioDataset(files, segment_size=SEGMENT, sampling_rate=sr,
+                         fine_tuning=True, input_mels_dir=str(mels_dir),
+                         hop_size=MEL_CFG["hop_size"])
+    item = ft[1]
+    assert item["wav"].shape == (SEGMENT,)
+    assert item["mel"].shape == (SEGMENT // MEL_CFG["hop_size"],
+                                 MEL_CFG["num_mels"])
+    batch = MelAudioBatchCollate()([ft[i] for i in range(2)])
+    assert batch["mel"].shape == (2, SEGMENT // MEL_CFG["hop_size"],
+                                  MEL_CFG["num_mels"])
