@@ -28,6 +28,10 @@ def main(argv=None):
     parser.add_argument("--config_name", type=str, required=True)
     parser.add_argument("--num_devices", type=int, default=0,
                         help="devices to use (0 = all; single-host only)")
+    parser.add_argument("--seq_parallel", type=int, default=0,
+                        help="shard the time axis of activations over a "
+                        "'seq' mesh axis of this size (long-crop memory "
+                        "scaling; devices must be divisible)")
     parser.add_argument("--num_nodes", type=int, default=1,
                         help="hosts in the run; >1 federates them via "
                         "jax.distributed (set MASTER_ADDR/MASTER_PORT/"
@@ -94,6 +98,8 @@ def main(argv=None):
         cfg.trainer.max_epochs = args.max_epochs
     if args.num_devices:
         cfg.trainer.devices = args.num_devices
+    if args.seq_parallel:
+        cfg.trainer.seq_parallel = args.seq_parallel
     if args.dev_data_dup_factor > 0 and cfg.model.validation_ds is not None:
         cfg.model.validation_ds.dup_factor = args.dev_data_dup_factor
 

@@ -282,3 +282,42 @@ def test_tensor_parallel_placement_matches_dp():
     l_dp = float(jax.device_get(m_dp["loss"]))
     l_tp = float(jax.device_get(m_tp["loss"]))
     assert abs(l_dp - l_tp) < 1e-4, (l_dp, l_tp)
+
+
+@pytest.mark.slow
+def test_sequence_parallel_matches_dp():
+    """seq_constrainer anchors on the (data, seq) mesh are a pure placement
+    change: the SPIRAL pretrain step — the workload whose 250k-sample crops
+    motivate time-sharding — yields the same loss as plain DP (XLA inserts
+    the halo exchanges / gathers between the anchors)."""
+    from tpu_speech.models.spiral.st2vec import ST2VecEncoder as _Enc
+    from tpu_speech.parallel.mesh import SEQ_AXIS
+
+    model = _Enc(TINY_CFG)
+    tx = optax.adamw(1e-3)
+    b, n_samples, spec_len = 8, 8000, 64  # ceil(8000/160)=50 -> pad16 -> 64
+    rng = np.random.default_rng(0)
+    wavs = rng.standard_normal((b, n_samples)).astype(np.float32) * 0.1
+    lens = np.full((b,), n_samples, dtype=np.int32)
+    batch = host_augment_batch(
+        TINY_CFG, wavs, lens, wavs + 0.01, lens, spec_len,
+        np.random.default_rng(1),
+    )
+
+    losses = []
+    for kw in ({}, {"seq_parallel": 2}, {"seq_parallel": 2,
+                                         "model_parallel": 2}):
+        mesh = make_mesh(n_devices=8, **kw)
+        if kw.get("seq_parallel"):
+            assert mesh.shape[SEQ_AXIS] == 2
+        state = init_spiral_state(
+            model, jax.random.PRNGKey(0),
+            (b, spec_len, TINY_CFG.num_features), tx,
+        )
+        step = make_pretrain_step(model, TINY_CFG, tx, mesh=mesh)
+        state = replicate(mesh, state)
+        _, m = step(state, shard_batch(mesh, batch), jax.random.PRNGKey(2))
+        losses.append(float(jax.device_get(m["loss"])))
+    assert np.all(np.isfinite(losses)), losses
+    assert abs(losses[1] - losses[0]) < 1e-4, losses
+    assert abs(losses[2] - losses[0]) < 1e-4, losses

@@ -17,14 +17,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SEQ_AXIS = "seq"
 
 
 def make_mesh(
     n_devices: Optional[int] = None,
     model_parallel: int = 1,
     devices: Optional[Sequence] = None,
+    seq_parallel: int = 1,
 ) -> Mesh:
-    """1-D data mesh by default; (data, model) 2-D when model_parallel > 1."""
+    """1-D data mesh by default; adds a 'seq' axis when seq_parallel > 1
+    (long-sequence activation sharding, see ``seq_constrainer``) and a
+    'model' axis when model_parallel > 1 (tensor-parallel params, see
+    ``shard_params_tp``). Axis order data > seq > model keeps the data
+    all-reduce on the outermost (slowest) ring."""
     devs = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
         assert len(devs) >= n_devices, (
@@ -32,11 +38,19 @@ def make_mesh(
         )
         devs = devs[:n_devices]
     n = len(devs)
-    assert n % model_parallel == 0, (n, model_parallel)
-    arr = np.array(devs).reshape(n // model_parallel, model_parallel)
-    if model_parallel == 1:
-        return Mesh(arr[:, 0], (DATA_AXIS,))
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    assert n % (model_parallel * seq_parallel) == 0, (
+        n, model_parallel, seq_parallel
+    )
+    shape = [n // (model_parallel * seq_parallel)]
+    axes = [DATA_AXIS]
+    if seq_parallel > 1:
+        shape.append(seq_parallel)
+        axes.append(SEQ_AXIS)
+    if model_parallel > 1:
+        shape.append(model_parallel)
+        axes.append(MODEL_AXIS)
+    arr = np.array(devs).reshape(shape)
+    return Mesh(arr, tuple(axes))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -102,6 +116,31 @@ def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params/opt state) across the mesh."""
     sharding = replicated(mesh)
     return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
+
+
+def seq_constrainer(mesh: Optional[Mesh]):
+    """Returns f(x) anchoring (batch, time, ...) activations to
+    P(data, seq, ...) when the mesh has a 'seq' axis; identity otherwise.
+
+    Sequence parallelism for long inputs (SPIRAL trains on 250k-sample /
+    ~1560-frame crops, spiral_base_pretrain_ls960.py crop config): anchor the
+    featurizer outputs and encoder outputs, and XLA's SPMD partitioner
+    propagates the time-sharding through the network between the anchors —
+    halo exchanges for the stride/conv frontend, k/v all-gathers for
+    attention — so per-chip activation memory scales down with the seq axis.
+    A pure placement change: the loss is bitwise the math of the unsharded
+    step (validated in __graft_entry__.dryrun_multichip and
+    tests/test_distributed.py)."""
+    if mesh is None or SEQ_AXIS not in mesh.axis_names:
+        return lambda x: x
+
+    def constrain(x):
+        if getattr(x, "ndim", 0) < 2:
+            return x
+        spec = P(DATA_AXIS, SEQ_AXIS, *([None] * (x.ndim - 2)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    return constrain
 
 
 def shard_params_tp(mesh: Mesh, tree):

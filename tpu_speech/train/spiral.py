@@ -63,7 +63,8 @@ def init_spiral_state(model: ST2VecEncoder, rng, spec_shape, tx):
 def make_pretrain_step(model: ST2VecEncoder, cfg: ST2VecConfig, tx,
                        grad_clip: Optional[float] = None,
                        bf16: bool = False,
-                       accum_steps: int = 1):
+                       accum_steps: int = 1,
+                       mesh=None):
     """bf16=True runs the network forward/backward in bfloat16 (params cast
     per step; optimizer state and updates stay float32 — standard TPU mixed
     precision).
@@ -73,7 +74,15 @@ def make_pretrain_step(model: ST2VecEncoder, cfg: ST2VecConfig, tx,
     (leaves [accum_steps, batch, ...], see parallel.mesh.shard_microbatches),
     scans them accumulating gradients, and applies ONE optimizer + EMA update
     per call — the micro-batch scan trades HBM for steps so the global-batch
-    recipe fits on fewer chips."""
+    recipe fits on fewer chips.
+
+    mesh: pass a mesh with a 'seq' axis (make_mesh(seq_parallel=N)) to run
+    sequence-parallel — featurizer/encoder activations are anchored to
+    P(data, seq) and XLA partitions the time axis between the anchors
+    (see parallel.mesh.seq_constrainer). No-op for meshes without 'seq'."""
+    from tpu_speech.parallel.mesh import seq_constrainer
+
+    seq_c = seq_constrainer(mesh)
     mask_emb = jnp.asarray(gaussian_mask_emb(cfg.num_features))
 
     def _cast(tree, dtype):
@@ -106,6 +115,7 @@ def make_pretrain_step(model: ST2VecEncoder, cfg: ST2VecConfig, tx,
         if bf16:
             t_specs = t_specs.astype(jnp.bfloat16)
             s_specs = s_specs.astype(jnp.bfloat16)
+        t_specs, s_specs = seq_c(t_specs), seq_c(s_specs)
 
         # teacher: shift + encode with EMA params (no grad)
         t_specs_sh, t_lens_sh = teacher_shift(
@@ -119,7 +129,7 @@ def make_pretrain_step(model: ST2VecEncoder, cfg: ST2VecConfig, tx,
             t_specs_sh, t_lens_sh, train=True,
             method=ST2VecEncoder.encode_teacher, rngs=rngs,
         )
-        targets = jax.lax.stop_gradient(targets)
+        targets = jax.lax.stop_gradient(seq_c(targets))
         # trim the k leading shifted frames -> aligned with student frames
         tf_student = s_specs.shape[1] // cfg.shift_unit
         targets = jax.lax.dynamic_slice_in_dim(
@@ -136,6 +146,7 @@ def make_pretrain_step(model: ST2VecEncoder, cfg: ST2VecConfig, tx,
             method=ST2VecEncoder.encode_student,
             rngs=rngs, mutable=["batch_stats"],
         )
+        pred = seq_c(pred)
 
         valid = (
             jnp.arange(pred.shape[1])[None, :] < feat_lens[:, None]

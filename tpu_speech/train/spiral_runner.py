@@ -99,7 +99,11 @@ class SpiralPretrainRunner:
         self.primary = distributed.is_primary()
         os.makedirs(log_dir, exist_ok=True)
         n_dev = getattr(cfg.trainer, "devices", -1)
-        self.mesh = make_mesh(n_devices=n_dev if n_dev and n_dev > 0 else None)
+        sp = max(1, getattr(cfg.trainer, "seq_parallel", 1))
+        self.mesh = make_mesh(
+            n_devices=n_dev if n_dev and n_dev > 0 else None,
+            seq_parallel=sp,
+        )
         n_data = self.mesh.shape["data"]
         self.accum = max(1, getattr(cfg.trainer, "accumulate_grad_batches", 1))
         self.rng_impl = getattr(cfg.model, "rng_impl", "rbg")
@@ -182,6 +186,7 @@ class SpiralPretrainRunner:
             self.model, self.enc_cfg, self.tx, grad_clip=m.grad_clip,
             bf16=(getattr(m, 'precision', 'fp32') == 'bf16'),
             accum_steps=self.accum,
+            mesh=self.mesh,
         )
         self.ckpt = Checkpointer(os.path.join(log_dir, "ckpt"))
         self.tb = None
@@ -420,6 +425,11 @@ class SpiralFinetuneRunner:
         self.primary = distributed.is_primary()
         os.makedirs(log_dir, exist_ok=True)
         n_dev = getattr(cfg.trainer, "devices", -1)
+        if max(1, getattr(cfg.trainer, "seq_parallel", 1)) > 1:
+            raise ValueError(
+                "trainer.seq_parallel is a pretrain-only knob (the 250k-"
+                "sample crops); the CTC finetune step does not implement it"
+            )
         self.mesh = make_mesh(n_devices=n_dev if n_dev and n_dev > 0 else None)
         self.accum = max(1, getattr(cfg.trainer, "accumulate_grad_batches", 1))
         self.rng_impl = getattr(cfg.model, "rng_impl", "rbg")

@@ -114,6 +114,9 @@ class TrainerConfig:
     max_epochs: int = 100
     max_steps: Optional[int] = None
     accumulate_grad_batches: int = 1
+    # sequence parallelism: shard the time axis of activations over a 'seq'
+    # mesh axis (parallel.mesh.seq_constrainer); devices must be divisible
+    seq_parallel: int = 1
     log_every_n_steps: int = 50
     val_check_interval_epochs: int = 4
 
