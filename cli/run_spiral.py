@@ -145,6 +145,7 @@ def main(argv=None):
                     print(f"Validation: loss = {val:.4f}", flush=True)
             if cfg.trainer.max_steps and runner.iteration >= cfg.trainer.max_steps:
                 break
+        runner.ckpt.wait()  # drain the async checkpoint write
         archive = runner.save_archive()
         if archive:
             print(f"saved model archive: {archive}")
@@ -198,6 +199,7 @@ def main(argv=None):
                 )
         if cfg.trainer.max_steps and runner.iteration >= cfg.trainer.max_steps:
             break
+    runner.ckpt.wait()  # drain the async checkpoint write
     archive = runner.save_archive()
     if archive:
         print(f"saved model archive: {archive}")

@@ -122,6 +122,7 @@ def main(multispeaker: bool = False):
             f"Epoch {epoch}: dur {stats['dur_loss']:.3f} | "
             f"prior {stats['prior_loss']:.3f} | diff {stats['diff_loss']:.3f}"
         )
+    trainer.ckpt.wait()  # drain the async checkpoint write
 
 
 if __name__ == "__main__":

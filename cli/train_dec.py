@@ -93,6 +93,7 @@ def main():
     for epoch in range(1, args.epochs + 1):
         loss = trainer.train_epoch(loader, epoch, base_rng)
         print(f"Epoch {epoch}: loss = {loss:.4f}")
+    trainer.ckpt.wait()  # drain the async checkpoint write
 
 
 if __name__ == "__main__":

@@ -91,6 +91,24 @@ def test_checkpoint_roundtrip(setup, tmp_path):
     np.testing.assert_array_equal(a, np.asarray(b))
 
 
+def test_checkpoint_async_save(setup, tmp_path):
+    """blocking=False overlaps the write; a later save/restore drains it and
+    the latest snapshot round-trips intact."""
+    model, params, batch = setup
+    tx = optax.adam(1e-4)
+    state = TrainState.create(
+        jax.tree.map(jnp.copy, {"params": params["params"]}), tx)
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    ckpt.save(1, jax.device_get(state), blocking=False)
+    ckpt.save(2, jax.device_get(state), blocking=False)  # drains save(1)
+    ckpt.wait()
+    assert ckpt.all_steps() == [1, 2]
+    restored = ckpt.restore_latest(jax.device_get(state))
+    a = jax.device_get(state.params["params"]["encoder"]["proj_m"]["kernel"])
+    b = restored.params["params"]["encoder"]["proj_m"]["kernel"]
+    np.testing.assert_array_equal(a, np.asarray(b))
+
+
 @pytest.mark.slow
 def test_grad_allreduce_consistency(setup):
     """DP over 8 devices must give the same update as single-device compute."""

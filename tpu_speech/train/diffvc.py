@@ -246,7 +246,8 @@ class DiffVCTrainer:
                 )
         if epoch % self.save_every == 0:
             if self.primary:
-                self.ckpt.save(self.iteration, jax.device_get(self.state))
+                self.ckpt.save(self.iteration, jax.device_get(self.state),
+                               blocking=False)
             if self.preview_fn is not None:
                 # ALL processes must launch the preview's jitted computation
                 # (params span the global mesh); only the primary writes output

@@ -254,6 +254,7 @@ class GradTTSTrainer:
                 f.write(msg)
         if epoch % self.save_every == 0:
             if self.primary:
-                self.ckpt.save(self.iteration, jax.device_get(self.state))
+                self.ckpt.save(self.iteration, jax.device_get(self.state),
+                               blocking=False)
             self.log_previews(epoch)
         return {k: float(np.mean(v)) if v else float("nan") for k, v in agg.items()}

@@ -293,7 +293,8 @@ class HiFiGANTrainer:
             with open(os.path.join(self.log_dir, "train.log"), "a") as f:
                 f.write(msg)
         if epoch % self.save_every == 0 and self.primary:
-            self.ckpt.save(self.iteration, jax.device_get(self.state))
+            self.ckpt.save(self.iteration, jax.device_get(self.state),
+                               blocking=False)
         return {k: float(np.mean(v)) if v else float("nan")
                 for k, v in agg.items()}
 

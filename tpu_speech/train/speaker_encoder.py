@@ -155,10 +155,11 @@ def train_speaker_encoder(
                 os.path.join(backup_dir, f"{run_id}_proj_{step:06d}.png"),
             )
         if save_every and step % save_every == 0:
-            ckpt.save(step, jax.device_get(state))
+            ckpt.save(step, jax.device_get(state), blocking=False)
         if backup_every and step % backup_every == 0:
             os.makedirs(backup_dir, exist_ok=True)
             Checkpointer(os.path.join(backup_dir, f"bak_{step:06d}")).save(
                 step, jax.device_get(state)
             )
+    ckpt.wait()  # drain the async checkpoint write
     return state

@@ -408,7 +408,8 @@ class SpiralPretrainRunner:
         if self.primary:
             with open(os.path.join(self.log_dir, "train.log"), "a") as f:
                 f.write(msg)
-            self.ckpt.save(self.iteration, jax.device_get(self.state))
+            self.ckpt.save(self.iteration, jax.device_get(self.state),
+                           blocking=False)
         return float(np.mean(losses)) if losses else float("nan")
 
 
@@ -610,7 +611,8 @@ class SpiralFinetuneRunner:
         if self.primary:
             with open(os.path.join(self.log_dir, "train.log"), "a") as f:
                 f.write(f"Epoch {epoch}: ctc loss = {np.mean(losses):.4f}\n")
-            self.ckpt.save(self.iteration, jax.device_get(self.state))
+            self.ckpt.save(self.iteration, jax.device_get(self.state),
+                           blocking=False)
         return float(np.mean(losses)) if losses else float("nan")
 
     def validate(self) -> dict:
