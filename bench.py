@@ -72,7 +72,8 @@ def _cast_bf16(tree):
     )
 
 
-def bench_tts(e2e: bool, bf16: bool = False):
+def bench_tts(e2e: bool, bf16: bool = False, solver: str = "euler",
+              n_steps: int = N_STEPS):
     """Per-utterance RTF from a chain of CHAIN sequential syntheses inside
     one jit dispatch. The dev harness tunnels the chip over the network with
     ~29 ms per dispatch+sync round trip — chaining amortizes that fixed
@@ -105,9 +106,9 @@ def bench_tts(e2e: bool, bf16: bool = False):
         def synth_chain(p, vp, x, xl, rng):
             def body(_, k):
                 _, dec, _, ylen = synthesize(
-                    model, p, x, xl, n_timesteps=N_STEPS,
+                    model, p, x, xl, n_timesteps=n_steps,
                     y_max_length=BUCKET, temperature=1.5, length_scale=0.91,
-                    rng=k,
+                    rng=k, solver=solver,
                 )
                 return 0.0, (voc.apply(vp, dec), ylen)
             _, (wavs, ylens) = jax.lax.scan(
@@ -124,9 +125,9 @@ def bench_tts(e2e: bool, bf16: bool = False):
         def synth_chain(p, x, xl, rng):
             def body(_, k):
                 _, dec, _, ylen = synthesize(
-                    model, p, x, xl, n_timesteps=N_STEPS,
+                    model, p, x, xl, n_timesteps=n_steps,
                     y_max_length=BUCKET, temperature=1.5, length_scale=0.91,
-                    rng=k,
+                    rng=k, solver=solver,
                 )
                 return 0.0, (dec, ylen)
             _, (decs, ylens) = jax.lax.scan(
@@ -243,6 +244,11 @@ def run_one(metric: str):
     elif metric == "gradtts_rtf_10step":
         rtf = bench_tts(e2e=False)
         emit(metric, rtf, "rtf", TARGET_RTF / rtf)
+    elif metric == "gradtts_e2e_wav_rtf_dpm6":
+        # DPM-Solver++(2M), 6 network calls — lands CLOSER to the many-step
+        # limit than the 10-step euler default (tests/test_dpm_solver.py)
+        rtf = bench_tts(e2e=True, solver="dpm", n_steps=6)
+        emit(metric, rtf, "rtf", TARGET_RTF / rtf)
     elif metric == "gradtts_e2e_throughput_b16":
         xrt = bench_tts_throughput()
         # baseline: the inverted north-star RTF (0.02 -> 50x realtime/chip)
@@ -325,6 +331,7 @@ ALL_METRICS = (
     "gradtts_e2e_wav_rtf_10step",
     "gradtts_e2e_wav_rtf_10step_bf16",
     "gradtts_rtf_10step",
+    "gradtts_e2e_wav_rtf_dpm6",
     "gradtts_e2e_throughput_b16",
     "hifigan_throughput_b16",
     "gradtts_train_step_ms_fp32",

@@ -21,7 +21,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from tpu_speech.models.diffusion import diffusion_loss, reverse_diffusion
+from tpu_speech.models.diffusion import (
+    diffusion_loss,
+    reverse_diffusion,
+    reverse_diffusion_dpm,
+)
 from tpu_speech.models.text_encoder import TextEncoder
 from tpu_speech.nn.unet import GradLogPEstimator2d
 from tpu_speech.ops.masks import duration_loss, generate_path, sequence_mask
@@ -160,12 +164,20 @@ def synthesize(
     spk: Optional[jnp.ndarray] = None,
     length_scale: float = 1.0,
     rng: Optional[jax.Array] = None,
+    solver: str = "euler",
+    solver_order: int = 2,
 ):
     """Text -> mel (inference). Fully jittable with static y_max_length bucket.
 
     Returns (encoder_outputs, decoder_outputs, attn, y_lengths); outputs are
     (B, y_max_length, F) with frames beyond y_lengths zero-masked
     (tts.py:51-99 semantics; caller trims).
+
+    solver='euler' is the reference integrator (diffusion.py:254-275);
+    solver='dpm' is DPM-Solver++(2M) on the same probability-flow ODE — one
+    network call per step, and ~6 steps land closer to the Euler limit than
+    10 Euler steps do, so '-t 6 --solver dpm' is both faster and more
+    accurate than the reference's 10-step default. solver_order=1 is DDIM.
     """
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -188,8 +200,16 @@ def synthesize(
     def score_fn(xt, t):
         return model.apply(params, xt, y_mask, mu_y, t, spk, method=GradTTS.score)
 
-    dec = reverse_diffusion(
-        score_fn, z, y_mask, mu_y, n_timesteps,
-        model.beta_min, model.beta_max, stoc=stoc, rng=rng_sde,
-    )
+    if solver == "dpm":
+        if stoc:
+            raise ValueError("solver='dpm' is deterministic; stoc must be False")
+        dec = reverse_diffusion_dpm(
+            score_fn, z, y_mask, mu_y, n_timesteps,
+            model.beta_min, model.beta_max, order=solver_order,
+        )
+    else:
+        dec = reverse_diffusion(
+            score_fn, z, y_mask, mu_y, n_timesteps,
+            model.beta_min, model.beta_max, stoc=stoc, rng=rng_sde,
+        )
     return mu_y, dec, attn, y_lengths
