@@ -63,6 +63,12 @@ def main(argv=None):
                         help="capture an XLA profiler trace of the first "
                         "training epoch into <log_dir>/plugins (view in "
                         "TensorBoard's profile tab)")
+    parser.add_argument("--set", dest="overrides", action="append",
+                        default=[], metavar="KEY=VALUE",
+                        help="dotted config override, e.g. "
+                        "--set model.optim.lr=1e-3 (repeatable; the "
+                        "reference's hydra overrides_str, run_spiral.py:127; "
+                        "unknown keys are struct-mode errors)")
     args = parser.parse_args(args=argv)
     print(f"training args: {args}")
 
@@ -79,10 +85,46 @@ def main(argv=None):
         )
         distributed.require_multiprocess(args.num_nodes)
 
-    cfg_module = import_module(
-        os.path.join(args.config_path, args.config_name).replace("/", ".")
+    # Config front ends (reference run_spiral.py:62-131): python dataclass
+    # experiment modules, or YAML experiment files composing a `base:` module
+    # with nested overrides (the legacy hydra-YAML path analog).
+    import copy
+
+    from tpu_speech.utils.config import (
+        apply_override,
+        apply_overrides,
+        load_yaml_experiment,
+        parse_cli_override,
     )
-    cfg = cfg_module.cfg
+
+    def _load_module_cfg(name):
+        mod = import_module(
+            os.path.join(args.config_path, name).replace("/", ".")
+        )
+        # deepcopy: never mutate the module-level singleton (repeat launches
+        # in one process must not inherit earlier overrides)
+        return copy.deepcopy(mod.cfg)
+
+    yaml_path = None
+    if args.config_name.endswith((".yaml", ".yml")):
+        yaml_path = (
+            args.config_name if os.path.isfile(args.config_name)
+            else os.path.join(args.config_path, args.config_name)
+        )
+    else:
+        cand = os.path.join(args.config_path, args.config_name + ".yaml")
+        if os.path.isfile(cand):
+            yaml_path = cand
+    if yaml_path:
+        base, yaml_overrides = load_yaml_experiment(yaml_path)
+        cfg = _load_module_cfg(base)
+        apply_overrides(cfg, yaml_overrides)
+    else:
+        cfg = _load_module_cfg(args.config_name)
+
+    for spec in args.overrides:
+        key, value = parse_cli_override(spec)
+        apply_override(cfg, key, value)
 
     manifest_dir = args.manifest_dir or args.data_dir
     for ds in (cfg.model.train_ds, cfg.model.validation_ds, cfg.model.test_ds):

@@ -135,3 +135,47 @@ def test_run_spiral_export_model(tmp_path):
     assert os.path.exists(exported)
     art = load_exported(exported)
     assert art is not None
+
+
+@pytest.mark.slow
+def test_run_spiral_yaml_config_and_set_overrides(tmp_path):
+    """YAML experiment file (base module + nested overrides) and --set dotted
+    overrides through the CLI (reference legacy hydra path,
+    run_spiral.py:113-131)."""
+    import run_spiral
+
+    data = str(tmp_path / "data")
+    _make_corpus(data, n=8)
+    yaml_path = str(tmp_path / "exp.yaml")
+    with open(yaml_path, "w") as f:
+        f.write(
+            "base: spiral_tiny_test\n"
+            "trainer:\n"
+            "  log_every_n_steps: 1\n"
+            "model:\n"
+            "  optim:\n"
+            "    lr: 0.0005\n"
+        )
+    logs = str(tmp_path / "logs_yaml")
+    run_spiral.main([
+        f"--config_name={yaml_path}",
+        "--manifest_dir", data,
+        "--model_save_dir", logs,
+        "--model_type=st2vec",
+        "--max_epochs=1",
+        "--set", "trainer.max_steps=2",
+        "--set", "model.optim.sched.warmup_steps=1",
+    ])
+    assert os.path.isdir(os.path.join(logs, "ckpt"))
+    cfg_saved = json.load(open(os.path.join(logs, "config.json")))
+    assert cfg_saved["model"]["optim"]["lr"] == 0.0005  # yaml override landed
+    assert cfg_saved["trainer"]["max_steps"] == 2       # --set landed
+    # struct-mode: bad --set key fails fast
+    with pytest.raises(KeyError, match="no_such_key"):
+        run_spiral.main([
+            f"--config_name={yaml_path}",
+            "--manifest_dir", data,
+            "--model_save_dir", str(tmp_path / "x"),
+            "--model_type=st2vec",
+            "--set", "trainer.no_such_key=1",
+        ])

@@ -216,3 +216,90 @@ def test_spiral_base_pretrain_config_one_step():
     step = make_pretrain_step(model, cfg, tx)
     state, metrics = step(state, shard_batch(mesh, batch), jax.random.PRNGKey(2))
     assert np.isfinite(float(jax.device_get(metrics)["loss"]))
+
+
+# ---------------------------------------------------------------------------
+# YAML experiment files + dotted overrides (reference legacy hydra path,
+# run_spiral.py:113-131, and OmegaConf struct-mode validation :104-109)
+
+
+def test_apply_override_coerces_and_validates():
+    from tpu_speech.utils.config import apply_override, apply_overrides
+
+    cfg = _load("spiral_tiny_test")
+    import copy
+
+    cfg = copy.deepcopy(cfg)
+    apply_override(cfg, "model.optim.lr", 3e-3)
+    assert cfg.model.optim.lr == 3e-3
+    # int -> float coercion (YAML '1' for a float field)
+    apply_override(cfg, "model.optim.weight_decay", 1)
+    assert cfg.model.optim.weight_decay == 1.0
+    assert isinstance(cfg.model.optim.weight_decay, float)
+    # tuple field from a YAML list
+    apply_override(cfg, "model.optim.betas", [0.8, 0.9])
+    assert cfg.model.optim.betas == (0.8, 0.9)
+    # nested mapping form
+    apply_overrides(cfg, {"trainer": {"max_steps": 7, "log_every_n_steps": 2}})
+    assert cfg.trainer.max_steps == 7 and cfg.trainer.log_every_n_steps == 2
+    # struct mode: unknown keys raise with the full dotted path
+    with pytest.raises(KeyError, match="model.optim.lrr"):
+        apply_override(cfg, "model.optim.lrr", 1.0)
+    with pytest.raises(KeyError, match="nonexistent"):
+        apply_overrides(cfg, {"trainer": {"nonexistent": 1}})
+
+
+def test_apply_override_constructs_optional_dataclass():
+    from tpu_speech.utils.config import apply_override
+    from tpu_speech.utils.config import NoisePerturbConfig
+
+    cfg = _load("spiral_tiny_test")
+    import copy
+
+    cfg = copy.deepcopy(cfg)
+    assert cfg.model.noise_perturb is None
+    apply_override(cfg, "model.noise_perturb.min_snr_db", 5.0)
+    assert isinstance(cfg.model.noise_perturb, NoisePerturbConfig)
+    assert cfg.model.noise_perturb.min_snr_db == 5.0
+
+
+def test_yaml_experiment_file(tmp_path):
+    from tpu_speech.utils.config import (
+        apply_overrides,
+        load_yaml_experiment,
+    )
+
+    y = tmp_path / "exp.yaml"
+    y.write_text(
+        "base: spiral_tiny_test\n"
+        "model:\n"
+        "  optim:\n"
+        "    lr: 0.004\n"
+        "trainer:\n"
+        "  max_epochs: 3\n"
+    )
+    base, overrides = load_yaml_experiment(str(y))
+    assert base == "spiral_tiny_test"
+    import copy
+
+    cfg = copy.deepcopy(_load(base))
+    apply_overrides(cfg, overrides)
+    assert cfg.model.optim.lr == 0.004
+    assert cfg.trainer.max_epochs == 3
+    # missing base is an error
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("model:\n  optim:\n    lr: 1\n")
+    with pytest.raises(ValueError, match="base"):
+        load_yaml_experiment(str(bad))
+
+
+def test_parse_cli_override_yaml_scalars():
+    from tpu_speech.utils.config import parse_cli_override
+
+    assert parse_cli_override("model.optim.lr=3e-3") == ("model.optim.lr", 3e-3)
+    assert parse_cli_override("trainer.max_steps=100") == ("trainer.max_steps", 100)
+    assert parse_cli_override("model.precision=bf16") == ("model.precision", "bf16")
+    k, v = parse_cli_override("model.use_teacher_encoder=true")
+    assert v is True
+    with pytest.raises(ValueError):
+        parse_cli_override("no_equals_sign")

@@ -159,3 +159,156 @@ class RunConfig:
     model: SpiralModelConfig = dataclasses.field(default_factory=SpiralModelConfig)
     trainer: TrainerConfig = dataclasses.field(default_factory=TrainerConfig)
     exp_manager: ExpManagerConfig = dataclasses.field(default_factory=ExpManagerConfig)
+
+
+# ---------------------------------------------------------------------------
+# YAML experiment files + dotted-key overrides.
+#
+# The reference has two config front ends: structured python dataclass modules
+# (run_spiral.py:62-112) and a legacy hydra-YAML path taking dotted overrides
+# (run_spiral.py:113-131). This is the YAML analog: an experiment file names a
+# `base` python config module and overlays a nested mapping onto its dataclass
+# tree. Overrides are struct-validated (unknown keys raise, the
+# OmegaConf.set_struct(cfg, True) behavior of run_spiral.py:104-109) and
+# scalar-coerced against the resolved dataclass field types.
+
+import typing
+
+
+def _field_types(obj) -> dict:
+    """Resolved type hints of a dataclass instance (annotations are strings
+    under `from __future__ import annotations`)."""
+    try:
+        return typing.get_type_hints(type(obj))
+    except Exception:
+        return {f.name: Any for f in dataclasses.fields(obj)}
+
+
+def _unwrap_optional(tp):
+    if typing.get_origin(tp) is typing.Union:
+        args = [a for a in typing.get_args(tp) if a is not type(None)]
+        if len(args) == 1:
+            return args[0]
+    return tp
+
+
+def _coerce(value, tp):
+    tp = _unwrap_optional(tp)
+    if value is None or tp is Any:
+        return value
+    origin = typing.get_origin(tp)
+    if origin in (tuple, Tuple) and isinstance(value, (list, tuple)):
+        args = typing.get_args(tp)
+        if args and args[-1] is not Ellipsis and len(args) == len(value):
+            return tuple(_coerce(v, a) for v, a in zip(value, args))
+        elt = args[0] if args else Any
+        return tuple(_coerce(v, elt) for v in value)
+    if origin in (list, List) and isinstance(value, (list, tuple)):
+        args = typing.get_args(tp)
+        return [_coerce(v, args[0] if args else Any) for v in value]
+    if tp is float and isinstance(value, int) and not isinstance(value, bool):
+        return float(value)
+    if tp is bool and isinstance(value, str):
+        return value.lower() in ("true", "1", "yes")
+    if tp in (int, float, str) and isinstance(value, tp):
+        return value
+    return value
+
+
+def apply_override(cfg, dotted_key: str, value):
+    """Set `cfg.<dotted.key> = value` with struct validation + coercion.
+
+    Intermediate None dataclass fields (e.g. Optional[AudioDatasetConfig])
+    are default-constructed on the way down.
+    """
+    obj = cfg
+    parts = dotted_key.split(".")
+    for i, part in enumerate(parts[:-1]):
+        if not dataclasses.is_dataclass(obj) or not hasattr(obj, part):
+            raise KeyError(
+                f"unknown config key '{'.'.join(parts[: i + 1])}' "
+                f"(struct mode; valid: "
+                f"{sorted(f.name for f in dataclasses.fields(obj))})"
+            )
+        child = getattr(obj, part)
+        if child is None:
+            tp = _unwrap_optional(_field_types(obj).get(part, Any))
+            if dataclasses.is_dataclass(tp):
+                child = tp()
+                setattr(obj, part, child)
+            else:
+                raise KeyError(
+                    f"cannot descend into '{'.'.join(parts[: i + 1])}': "
+                    f"value is None and field type {tp!r} is not a dataclass"
+                )
+        obj = child
+    leaf = parts[-1]
+    if not dataclasses.is_dataclass(obj) or leaf not in {
+        f.name for f in dataclasses.fields(obj)
+    }:
+        raise KeyError(
+            f"unknown config key '{dotted_key}' (struct mode; valid leaves: "
+            f"{sorted(f.name for f in dataclasses.fields(obj)) if dataclasses.is_dataclass(obj) else '?'})"
+        )
+    current = getattr(obj, leaf)
+    if dataclasses.is_dataclass(current) and isinstance(value, dict):
+        apply_overrides(current, value)
+        return
+    setattr(obj, leaf, _coerce(value, _field_types(obj).get(leaf, Any)))
+
+
+def apply_overrides(cfg, mapping: dict, prefix: str = ""):
+    """Overlay a nested mapping onto a dataclass config tree. Each leaf goes
+    through apply_override so struct validation reports full dotted paths
+    (and intermediate None dataclass fields get default-constructed)."""
+    for k, v in mapping.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            apply_overrides(cfg, v, prefix=f"{key}.")
+        else:
+            apply_override(cfg, key, v)
+
+
+def load_yaml_experiment(path: str):
+    """Parse a YAML experiment file -> (base_module_name, overrides_dict).
+
+    Format (the hydra-YAML analog, reference run_spiral.py:113-131):
+
+        base: spiral_base_pretrain_ls960   # python config module to compose
+        model:
+          optim:
+            lr: 0.003
+        trainer:
+          max_steps: 200000
+    """
+    import yaml
+
+    with open(path) as f:
+        doc = yaml.safe_load(f) or {}
+    if not isinstance(doc, dict):
+        raise ValueError(f"{path}: YAML experiment file must be a mapping")
+    base = doc.pop("base", None)
+    if base is None:
+        raise ValueError(
+            f"{path}: YAML experiment file needs a 'base:' python config "
+            "module to compose from"
+        )
+    return base, doc
+
+
+def parse_cli_override(spec: str):
+    """'model.optim.lr=3e-3' -> ('model.optim.lr', 3e-3) with YAML scalar
+    parsing (the hydra overrides_str analog, reference run_spiral.py:127)."""
+    import yaml
+
+    if "=" not in spec:
+        raise ValueError(f"override '{spec}' must be KEY=VALUE")
+    key, raw = spec.split("=", 1)
+    value = yaml.safe_load(raw)
+    if isinstance(value, str):
+        # YAML 1.1 reads '3e-3' (no dot) as a string; users mean a float
+        try:
+            value = float(value)
+        except ValueError:
+            pass
+    return key.strip(), value
