@@ -70,3 +70,29 @@ def test_rel_pos_attention(rng):
     # shifted input produces a (roughly) shifted output in the interior
     y_free = attn.apply(variables, x, x, x, None, train=False)
     assert np.isfinite(np.asarray(y_free)).all()
+
+
+def test_jasper_activation_registry():
+    """jasper_activations registry parity (reference parts/jasper.py:24)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu_speech.models.spiral.jasper import ACTIVATIONS
+
+    assert set(ACTIVATIONS) == {"relu", "hardtanh", "selu", "swish"}
+    x = jnp.linspace(-3.0, 3.0, 7)
+    np.testing.assert_allclose(ACTIVATIONS["hardtanh"](x),
+                               np.clip(np.asarray(x), -1, 1))
+    np.testing.assert_allclose(ACTIVATIONS["swish"](x),
+                               np.asarray(x) / (1 + np.exp(-np.asarray(x))),
+                               rtol=1e-6)
+
+    cfg = JasperBlockCfg(filters=8, kernel_size=3, repeat=1, stride=1,
+                         residual=False, activation="swish", dropout=0.0)
+    block = JasperBlock(cfg)
+    xb = jnp.ones((2, 16, 4))
+    lens = jnp.array([16, 12])
+    params = block.init(jax.random.PRNGKey(0), xb, lens)
+    out, _ = block.apply(params, xb, lens)
+    assert out.shape == (2, 16, 8)

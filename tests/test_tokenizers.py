@@ -62,3 +62,69 @@ def test_huggingface_tokenizer_wrapper(tmp_path):
     assert tok.ids_to_text(ids) == "the cats sat"
     # transformers may register extra special tokens (e.g. [MASK])
     assert tok.vocab_size >= len(vocab)
+
+
+# --- manifest-transcript parsers (reference parts/parsers.py) ---
+
+from tpu_speech.text.parsers import CharParser, ENCharParser, make_parser
+
+
+def test_char_parser_basic_and_oov_drop():
+    p = CharParser(["a", "b", "c"])
+    assert p("abc") == [0, 1, 2]
+    # default unk_id == blank_id == -1 silently drops OOV (parsers.py:96)
+    assert p("aXc") == [0, 2]
+
+
+def test_char_parser_space_and_special_labels():
+    p = CharParser([" ", "a", "b", "<sil>"])
+    # multi-char labels match whole whitespace-split words
+    assert p("ab <sil> b") == [1, 2, 0, 3, 0, 2]
+
+
+def test_char_parser_add_end_space():
+    p = CharParser([" ", "a", "b"], add_end_space=True)
+    # end-space mode: space AFTER each word instead of between words
+    assert p("ab a") == [1, 2, 0, 1, 0]
+
+
+def test_char_parser_unk_id_kept_when_distinct():
+    p = CharParser(["a", "b"], unk_id=7, blank_id=-1)
+    assert p("aXb") == [0, 7, 1]
+
+
+def test_en_parser_normalization():
+    labels = [" "] + list("abcdefghijklmnopqrstuvwxyz") + ["'"]
+    p = ENCharParser(labels)
+    # transliterate + number expansion + punctuation mapping + '&' word
+    assert p("Café #5 & co.") == p("cafe five and company")
+    ids = p("it's 2 a.m.")
+    assert ids == p("it's two a m")
+
+
+def test_en_parser_keeps_label_punctuation():
+    labels = [" "] + list("abcdefghijklmnopqrstuvwxyz") + ["'"]
+    p = ENCharParser(labels)
+    # apostrophe is a label so the punctuation table must not strip it
+    assert labels.index("'") in p("don't")
+
+
+def test_make_parser_registry():
+    import pytest
+
+    assert isinstance(make_parser(["a"], name="base"), CharParser)
+    assert isinstance(make_parser(["a"], name="en"), ENCharParser)
+    with pytest.raises(ValueError):
+        make_parser(["a"], name="zh")
+    with pytest.raises(ValueError):
+        make_parser(None, name="base")
+
+
+def test_char_tokenizer_en_parser_default():
+    tok = CharTokenizer(DEFAULT_CHAR_LABELS)
+    # the reference char datasets default to parser='en'
+    # (audio_to_text.py:446); digits must expand to words
+    ids = tok.text_to_ids("agent 7")
+    assert tok.ids_to_text(ids) == "agent seven"
+    raw = CharTokenizer(DEFAULT_CHAR_LABELS, parser=None)
+    assert raw.ids_to_text(raw.text_to_ids("agent 7")) == "agent "

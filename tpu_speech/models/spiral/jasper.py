@@ -29,6 +29,16 @@ class JasperBlockCfg:
     dropout: float = 0.1
     residual: bool = True
     separable: bool = False
+    activation: str = "relu"  # jasper_activations registry (jasper.py:24)
+
+
+# reference jasper_activations registry (parts/jasper.py:24 + activations.py)
+ACTIVATIONS = {
+    "relu": nn.relu,
+    "hardtanh": lambda x: jnp.clip(x, -1.0, 1.0),
+    "selu": nn.selu,
+    "swish": nn.silu,  # Swish(x) = x*sigmoid(x) == SiLU
+}
 
 
 class _MaskedConv1d(nn.Module):
@@ -65,6 +75,7 @@ class JasperBlock(nn.Module):
     @nn.compact
     def __call__(self, x, lens, train: bool = False):
         c = self.cfg
+        act = ACTIVATIONS[c.activation]
         pad_mask = create_pad_mask(lens, x.shape[1])
         res_in, res_lens = x, lens
         h = x
@@ -89,7 +100,7 @@ class JasperBlock(nn.Module):
             )(h)
             last = r == c.repeat - 1
             if not (last and c.residual):
-                h = nn.relu(h)
+                h = act(h)
                 h = nn.Dropout(c.dropout, deterministic=not train)(h)
         if c.residual and c.stride == 1:
             res = nn.Dense(c.filters, name="res_proj")(res_in)
@@ -98,7 +109,7 @@ class JasperBlock(nn.Module):
                 name="res_bn",
             )(res)
             h = h + res
-            h = nn.relu(h)
+            h = act(h)
             h = nn.Dropout(c.dropout, deterministic=not train)(h)
         return h, lens
 

@@ -19,15 +19,32 @@ DEFAULT_CHAR_LABELS = [
 
 
 class CharTokenizer:
-    def __init__(self, labels: Sequence[str] = tuple(DEFAULT_CHAR_LABELS)):
+    """Char-level tokenizer. ``parser='en'`` applies the reference char
+    datasets' default English transcript normalization (transliterate,
+    number/abbreviation expansion, punctuation mapping —
+    audio_to_text.py:446 ``parser='en'`` + parts/parsers.py ENCharParser);
+    ``parser='base'`` is strip+lowercase; ``parser=None`` is the raw
+    lowercase char map (legacy behavior, OOV dropped)."""
+
+    def __init__(self, labels: Sequence[str] = tuple(DEFAULT_CHAR_LABELS),
+                 parser: Optional[str] = "en"):
         self.labels = list(labels)
         self._map = {c: i for i, c in enumerate(self.labels)}
+        if parser is None:
+            self._parser = None
+        else:
+            from tpu_speech.text.parsers import make_parser
+
+            self._parser = make_parser(self.labels, name=parser)
 
     @property
     def vocab_size(self) -> int:
         return len(self.labels)
 
     def text_to_ids(self, text: str) -> List[int]:
+        if self._parser is not None:
+            ids = self._parser(text)
+            return ids if ids is not None else []
         return [self._map[c] for c in text.lower() if c in self._map]
 
     def ids_to_text(self, ids: Sequence[int]) -> str:
