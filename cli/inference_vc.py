@@ -140,7 +140,7 @@ def main(argv=None):
         jax.random.PRNGKey(0),
     )
     mel_out = np.asarray(y[0, : mel_src.shape[0]])
-    mel_out = mel_spectral_subtraction(mel_out, mel_out, smoothing_window=1)
+    mel_out = mel_spectral_subtraction(mel_out, mel_src, smoothing_window=1)
 
     os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
     wav_out = np.asarray(

@@ -210,3 +210,30 @@ def test_diffvc_encoder_overfits(rng):
             first = float(jax.device_get(m["loss"]))
     last = float(jax.device_get(m["loss"]))
     assert last < 0.5 * first, (first, last)
+
+
+def test_mel_spectral_subtraction_uses_source_silence():
+    """The notebook denoiser locates the quietest window in the SOURCE mel,
+    then reads the noise profile from the synthesized mel at that index
+    (inference.ipynb mel_spectral_subtraction)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "cli"))
+    from inference_vc import mel_spectral_subtraction, noise_median_smoothing
+
+    rng = np.random.default_rng(0)
+    T, F = 40, 8
+    src = np.full((T, F), 1.0)
+    src[10:17] = -6.0  # silence in the source at t=10
+    synth = rng.normal(0.0, 0.1, (T, F)).astype(np.float64)
+    synth[30:37] = -9.0  # a quieter region elsewhere in the synth
+    out = mel_spectral_subtraction(synth, src, smoothing_window=1)
+    assert out.shape == (T, F)
+    # noise profile must come from synth[t=10..15], NOT the synth minimum
+    noise = noise_median_smoothing(
+        np.min(np.exp(2.0 * synth.T[:, 10:15]), axis=-1), 1)
+    sig = np.exp(2.0 * synth.T) - noise[:, None]
+    # frames where subtraction dominates the floor must match exactly
+    expect = np.log(np.sqrt(np.maximum(sig, 0.02 * noise[:, None]))).T
+    np.testing.assert_allclose(out, expect, rtol=1e-6)

@@ -81,6 +81,12 @@ def istft(spec: jnp.ndarray, n_fft: int, hop: int, window: jnp.ndarray,
     return y
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_mels", "sample_rate", "n_fft", "hop", "n_iters", "momentum",
+    ),
+)
 def fast_griffin_lim(
     log_mel: jnp.ndarray,
     n_mels: int = 80,
@@ -94,7 +100,9 @@ def fast_griffin_lim(
 
     Mirrors FastGL (DiffVC/model/utils.py:78-110): pseudo-invert mels to a
     magnitude STFT, init with zero phase, iterate stft/istft with momentum on
-    the phase angles.
+    the phase angles. Jitted as one XLA program: complex64 intermediates are
+    unsupported as *eager* TPU allocations (axon raises Unimplemented on a
+    device `full`), and the fused loop avoids 2·n_iters host round-trips.
     """
     inv = jnp.asarray(mel_pseudo_inverse(sample_rate, n_fft, n_mels))
     window = jnp.asarray(hann_window(n_fft))
