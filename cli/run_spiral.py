@@ -32,6 +32,10 @@ def main(argv=None):
                         help="shard the time axis of activations over a "
                         "'seq' mesh axis of this size (long-crop memory "
                         "scaling; devices must be divisible)")
+    parser.add_argument("--fsdp", type=str2bool, default=False,
+                        help="ZeRO-3-style parameter/optimizer-state "
+                        "sharding over the data axis (per-chip state memory "
+                        "scales down with the mesh)")
     parser.add_argument("--num_nodes", type=int, default=1,
                         help="hosts in the run; >1 federates them via "
                         "jax.distributed (set MASTER_ADDR/MASTER_PORT/"
@@ -142,6 +146,8 @@ def main(argv=None):
         cfg.trainer.devices = args.num_devices
     if args.seq_parallel:
         cfg.trainer.seq_parallel = args.seq_parallel
+    if args.fsdp:
+        cfg.trainer.fsdp = True
     if args.dev_data_dup_factor > 0 and cfg.model.validation_ds is not None:
         cfg.model.validation_ds.dup_factor = args.dev_data_dup_factor
 

@@ -179,3 +179,28 @@ def test_run_spiral_yaml_config_and_set_overrides(tmp_path):
             "--model_type=st2vec",
             "--set", "trainer.no_such_key=1",
         ])
+
+
+@pytest.mark.slow
+def test_run_spiral_pretrain_fsdp(tmp_path):
+    """--fsdp: ZeRO-3-style state sharding wired through the runner — one
+    pretrain epoch trains, checkpoints, and resumes under sharded placement."""
+    import run_spiral
+
+    data = str(tmp_path / "data")
+    _make_corpus(data, n=16)
+    logs = str(tmp_path / "logs_fsdp")
+    argv = [
+        "--config_name=spiral_tiny_test",
+        "--manifest_dir", data,
+        "--model_save_dir", logs,
+        "--model_type=st2vec",
+        "--max_epochs=1",
+        "--fsdp=true",
+    ]
+    run_spiral.main(argv)
+    assert os.path.isdir(os.path.join(logs, "ckpt"))
+    # resume path re-places the restored state with the fsdp shardings
+    run_spiral.main(argv)
+    log_text = open(os.path.join(logs, "train.log")).read()
+    assert "loss" in log_text

@@ -148,13 +148,19 @@ class CTCTrainState:
 def make_finetune_step(model: CTCFinetuneModel, cfg: ST2VecConfig, tx,
                        freeze_finetune_updates: int = 0,
                        accum_steps: int = 1,
-                       bf16: bool = False):
+                       bf16: bool = False,
+                       mesh=None,
+                       state_shardings=None):
     """accum_steps>1: trainer.accumulate_grad_batches — batch leaves arrive
     stacked [accum_steps, batch, ...] (parallel.mesh.shard_microbatches) and
     are scanned in-graph, one optimizer update per call.
 
     bf16=True runs the network forward/backward in bfloat16 (featurizer and
-    CTC loss stay float32; master params/optimizer fp32)."""
+    CTC loss stay float32; master params/optimizer fp32).
+
+    state_shardings: NamedSharding pytree from parallel.mesh.fsdp_shardings —
+    pins the updated state to its ZeRO-style placement through the donated
+    jit (see train/spiral.py::make_pretrain_step)."""
     mask_emb = jnp.asarray(gaussian_mask_emb(cfg.num_features))
 
     def loss_fn(params, batch_stats, batch, rng, freeze: bool):
@@ -189,7 +195,16 @@ def make_finetune_step(model: CTCFinetuneModel, cfg: ST2VecConfig, tx,
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    @partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+    jit_kw = {}
+    if state_shardings is not None:
+        assert mesh is not None, "state_shardings requires the mesh"
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        jit_kw["out_shardings"] = (
+            state_shardings, NamedSharding(mesh, PartitionSpec())
+        )
+
+    @partial(jax.jit, donate_argnums=(0,), static_argnums=(3,), **jit_kw)
     def step(state: CTCTrainState, batch, rng, freeze: bool):
         if accum_steps > 1:
             def micro(carry, xs):

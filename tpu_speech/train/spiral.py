@@ -64,7 +64,8 @@ def make_pretrain_step(model: ST2VecEncoder, cfg: ST2VecConfig, tx,
                        grad_clip: Optional[float] = None,
                        bf16: bool = False,
                        accum_steps: int = 1,
-                       mesh=None):
+                       mesh=None,
+                       state_shardings=None):
     """bf16=True runs the network forward/backward in bfloat16 (params cast
     per step; optimizer state and updates stay float32 — standard TPU mixed
     precision).
@@ -79,7 +80,12 @@ def make_pretrain_step(model: ST2VecEncoder, cfg: ST2VecConfig, tx,
     mesh: pass a mesh with a 'seq' axis (make_mesh(seq_parallel=N)) to run
     sequence-parallel — featurizer/encoder activations are anchored to
     P(data, seq) and XLA partitions the time axis between the anchors
-    (see parallel.mesh.seq_constrainer). No-op for meshes without 'seq'."""
+    (see parallel.mesh.seq_constrainer). No-op for meshes without 'seq'.
+
+    state_shardings: the pytree of NamedShardings the state was placed with
+    (parallel.mesh.fsdp_shardings) — pins the updated state's output sharding
+    so ZeRO-style placement survives the donated jit (params all-gathered for
+    the forward, grads reduce-scattered, AdamW update shard-wise)."""
     from tpu_speech.parallel.mesh import seq_constrainer
 
     seq_c = seq_constrainer(mesh)
@@ -159,7 +165,16 @@ def make_pretrain_step(model: ST2VecEncoder, cfg: ST2VecConfig, tx,
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    @partial(jax.jit, donate_argnums=(0,))
+    jit_kw = {}
+    if state_shardings is not None:
+        assert mesh is not None, "state_shardings requires the mesh"
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        jit_kw["out_shardings"] = (
+            state_shardings, NamedSharding(mesh, PartitionSpec())
+        )
+
+    @partial(jax.jit, donate_argnums=(0,), **jit_kw)
     def step(state: SpiralTrainState, batch, rng):
         if accum_steps > 1:
             def micro(carry, xs):

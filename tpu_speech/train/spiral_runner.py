@@ -35,6 +35,7 @@ from tpu_speech.models.spiral.ctc import (
 from tpu_speech.models.spiral.st2vec import ST2VecEncoder, wav_to_spec
 from tpu_speech.parallel import distributed
 from tpu_speech.parallel.mesh import (
+    fsdp_shardings,
     make_mesh,
     replicate,
     shard_batch,
@@ -181,12 +182,20 @@ class SpiralPretrainRunner:
             (m.train_ds.batch_size, self.spec_len, self.enc_cfg.num_features),
             self.tx,
         )
-        self.state = replicate(self.mesh, state)
+        self.fsdp = bool(getattr(cfg.trainer, "fsdp", False))
+        state_shardings = None
+        if self.fsdp:
+            state_shardings = fsdp_shardings(self.mesh, state)
+            self.state = jax.tree.map(jax.device_put, state, state_shardings)
+        else:
+            self.state = replicate(self.mesh, state)
+        self._state_shardings = state_shardings
         self.step_fn = make_pretrain_step(
             self.model, self.enc_cfg, self.tx, grad_clip=m.grad_clip,
             bf16=(getattr(m, 'precision', 'fp32') == 'bf16'),
             accum_steps=self.accum,
             mesh=self.mesh,
+            state_shardings=state_shardings,
         )
         self.ckpt = Checkpointer(os.path.join(log_dir, "ckpt"))
         self.tb = None
@@ -212,7 +221,12 @@ class SpiralPretrainRunner:
         restored = self.ckpt.restore_latest(jax.device_get(self.state))
         if restored is None:
             return False
-        self.state = replicate(self.mesh, restored)
+        if self._state_shardings is not None:
+            self.state = jax.tree.map(
+                jax.device_put, restored, self._state_shardings
+            )
+        else:
+            self.state = replicate(self.mesh, restored)
         self.iteration = int(restored.step)
         return True
 
@@ -508,11 +522,20 @@ class SpiralFinetuneRunner:
             jnp.zeros((), jnp.int32), params,
             variables.get("batch_stats", {}), self.tx.init(params),
         )
-        self.state = replicate(self.mesh, state)
+        self.fsdp = bool(getattr(cfg.trainer, "fsdp", False))
+        state_shardings = None
+        if self.fsdp:
+            state_shardings = fsdp_shardings(self.mesh, state)
+            self.state = jax.tree.map(jax.device_put, state, state_shardings)
+        else:
+            self.state = replicate(self.mesh, state)
+        self._state_shardings = state_shardings
         self.step_fn = make_finetune_step(
             self.model, self.enc_cfg, self.tx, m.freeze_finetune_updates,
             accum_steps=self.accum,
             bf16=(getattr(m, 'precision', 'fp32') == 'bf16'),
+            mesh=self.mesh,
+            state_shardings=state_shardings,
         )
         self.ckpt = Checkpointer(os.path.join(log_dir, "ckpt"))
         self.tb = None
@@ -556,7 +579,12 @@ class SpiralFinetuneRunner:
         restored = self.ckpt.restore_latest(jax.device_get(self.state))
         if restored is None:
             return False
-        self.state = replicate(self.mesh, restored)
+        if self._state_shardings is not None:
+            self.state = jax.tree.map(
+                jax.device_put, restored, self._state_shardings
+            )
+        else:
+            self.state = replicate(self.mesh, restored)
         self.iteration = int(restored.step)
         return True
 

@@ -117,6 +117,10 @@ class TrainerConfig:
     # sequence parallelism: shard the time axis of activations over a 'seq'
     # mesh axis (parallel.mesh.seq_constrainer); devices must be divisible
     seq_parallel: int = 1
+    # ZeRO-3-style parameter/optimizer-state sharding over the 'data' axis
+    # (parallel.mesh.shard_state_fsdp) — per-chip state memory scales down
+    # ~linearly with the mesh; the reference (DDP) has no equivalent
+    fsdp: bool = False
     log_every_n_steps: int = 50
     val_check_interval_epochs: int = 4
 
