@@ -56,6 +56,17 @@ def main(argv=None):
     parser.add_argument("--finetune_from_scratch", type=str2bool, default=False)
     parser.add_argument("--use_teacher_encoder", type=str2bool, default=False)
     parser.add_argument("--save_logits", type=str2bool, default=False)
+    parser.add_argument("--beam_size", type=int, default=1,
+                        help="test-mode CTC decode: 1 = greedy (reference "
+                        "behavior), >1 = prefix beam search "
+                        "(eval/ctc_beam.py)")
+    parser.add_argument("--lm_manifest", type=str, default="",
+                        help="fit a native n-gram LM on this manifest's "
+                        "transcripts and shallow-fuse it into the beam")
+    parser.add_argument("--lm_alpha", type=float, default=0.5,
+                        help="LM fusion weight")
+    parser.add_argument("--lm_order", type=int, default=4,
+                        help="n-gram order for --lm_manifest")
     parser.add_argument("--export_model", type=str, default="",
                         help="in test mode, also serialize the inference "
                         "graph as StableHLO to this path")
@@ -220,9 +231,25 @@ def main(argv=None):
         print(f"Resumed from iteration {runner.iteration}")
 
     if args.run_mode == "test":
+        lm = None
+        if args.beam_size > 1 and args.lm_manifest:
+            # shallow fusion: fit the native n-gram LM on the transcripts of
+            # the given manifest IN THE MODEL'S id space (incl. blank offset)
+            from tpu_speech.data.spiral import read_manifest
+            from tpu_speech.eval.ctc_beam import NGramLM
+
+            texts = [
+                e["text"] for e in read_manifest(args.lm_manifest, 0.0, None)
+            ]
+            lm = NGramLM.from_texts(
+                texts, runner.tokenizer, order=args.lm_order
+            )
+            print(f"n-gram LM (order {args.lm_order}) fit on "
+                  f"{len(texts)} transcripts")
         results = runner.evaluate(
             save_logits_dir=os.path.join(log_dir, "logits")
-            if args.save_logits else None
+            if args.save_logits else None,
+            beam_width=args.beam_size, lm=lm, lm_alpha=args.lm_alpha,
         )
         print(
             f"TEST: WER = {results['wer']:.4f} | CER = {results['cer']:.4f} "

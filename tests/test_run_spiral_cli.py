@@ -4,6 +4,7 @@ per-utterance HTML diagnosis (reference spiral_pretrain.py:95-190 +
 compute_wer.analyze)."""
 
 import json
+import re
 import os
 import sys
 
@@ -204,3 +205,68 @@ def test_run_spiral_pretrain_fsdp(tmp_path):
     run_spiral.main(argv)
     log_text = open(os.path.join(logs, "train.log")).read()
     assert "loss" in log_text
+
+
+@pytest.mark.slow
+def test_run_spiral_finetune_bucketed(tmp_path):
+    """model.train_ds.num_buckets=2: duration-bucketed CTC finetune trains
+    with per-bucket static shapes (two compiled programs) and finishes an
+    epoch + checkpoint."""
+    import run_spiral
+
+    data = str(tmp_path / "data")
+    os.makedirs(data, exist_ok=True)
+    rng = np.random.default_rng(0)
+    words = ["hello", "world", "speech", "test", "audio"]
+    entries = []
+    for i in range(64):
+        dur = 0.3 if i % 2 == 0 else 0.9  # two distinct duration buckets
+        wav = (rng.standard_normal(int(SR * dur)) * 0.1).astype(np.float32)
+        p = os.path.join(data, f"utt{i}.wav")
+        write_wav(p, wav, SR)
+        entries.append({
+            "audio_filepath": p, "duration": dur,
+            "text": " ".join(rng.choice(words, size=2)),
+        })
+    with open(os.path.join(data, "manifest.json"), "w") as f:
+        for e in entries:
+            f.write(json.dumps(e) + "\n")
+
+    logs = str(tmp_path / "logs_bucketed")
+    run_spiral.main([
+        "--config_name=spiral_tiny_test",
+        "--manifest_dir", data,
+        "--model_save_dir", logs,
+        "--model_type=ctc_finetune",
+        "--max_epochs=1",
+        "--resume_if_exists=false",
+        "--set", "model.train_ds.num_buckets=2",
+    ])
+    log_text = open(os.path.join(logs, "train.log")).read()
+    m = re.search(r"ctc loss = ([-\d.a-z]+)", log_text)
+    assert m, log_text
+    assert np.isfinite(float(m.group(1))), log_text  # steps actually ran
+    assert os.path.isdir(os.path.join(logs, "ckpt"))
+
+
+@pytest.mark.slow
+def test_run_spiral_test_mode_beam_lm(tmp_path):
+    """--beam_size + --lm_manifest: test mode decodes via prefix beam search
+    with a native n-gram LM fused (beyond-reference decode path)."""
+    import run_spiral
+
+    data = str(tmp_path / "data")
+    mpath = _make_corpus(data, n=12)
+    logs = str(tmp_path / "logs_beam")
+    run_spiral.main([
+        "--config_name=spiral_tiny_test",
+        "--manifest_dir", data,
+        "--model_save_dir", logs,
+        "--model_type=ctc_finetune",
+        "--run_mode=test",
+        "--resume_if_exists=false",
+        "--beam_size=4",
+        "--lm_manifest", mpath,
+        "--lm_alpha=0.3",
+    ])
+    assert os.path.exists(os.path.join(logs, "wer_diagnosis.html"))

@@ -71,14 +71,16 @@ class DataLoader:
             batches.append(order[n - n % self.batch_size :])
         return batches
 
+    def _make_batch(self, idxs):
+        return self.collate_fn([self.dataset[int(i)] for i in idxs])
+
     def __iter__(self) -> Iterator:
         self._epoch += 1
         batches = self._batch_indices()
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
-        def make_batch(idxs):
-            return self.collate_fn([self.dataset[int(i)] for i in idxs])
+        make_batch = self._make_batch
 
         def producer():
             window = self.num_workers + self.prefetch
@@ -118,3 +120,87 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
+
+class BucketedDataLoader(DataLoader):
+    """Duration-bucketed batches: one static shape per bucket.
+
+    The reference pads every CTC-finetune batch to the longest utterance in
+    it (dynamic shapes, audio_to_text.py collate); a TPU-static single bucket
+    instead pads everything to max_duration — LibriSpeech utterances average
+    well under half of the 24 s cap, so that wastes ~2x compute. Bucketing
+    recovers it TPU-natively: items are grouped into k duration buckets, each
+    batch is drawn from ONE bucket and padded to that bucket's bound, and the
+    jitted step retraces once per bucket (a bounded set of k compiled
+    programs — the standard static-shape answer to dynamic lengths).
+
+    Multi-host safety: every process builds the SAME global batch schedule
+    (same seed), then takes its shard's slice of each global batch, so the
+    per-step shapes agree across processes (a shape mismatch would corrupt
+    the global array assembly).
+
+    run_length: emit batches in runs of this many consecutive same-bucket
+    batches (= trainer.accumulate_grad_batches) so gradient-accumulation
+    stacks never mix shapes. Per-bucket leftovers that can't fill a full run
+    are dropped (< global_batch * run_length items per bucket per epoch).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        collate_builder: Callable[[int], Callable],
+        durations: Sequence[float],
+        bucket_bounds: Sequence[float],
+        sample_rate: int,
+        run_length: int = 1,
+        **kwargs,
+    ):
+        """collate_builder(bound_samples) -> collate_fn for one bucket;
+        bucket_bounds: ascending per-bucket max durations (seconds), the last
+        one >= every item's duration."""
+        super().__init__(dataset, batch_size, None, **kwargs)
+        self.durations = np.asarray(durations, dtype=np.float64)
+        self.bounds = sorted(float(b) for b in bucket_bounds)
+        self.sample_rate = sample_rate
+        self.run_length = max(1, run_length)
+        self.bucket_samples = [
+            int(round(b * sample_rate)) for b in self.bounds
+        ]
+        self.collates = [collate_builder(s) for s in self.bucket_samples]
+        self._bucket_of = np.searchsorted(
+            np.asarray(self.bounds), self.durations, side="left"
+        )
+        self._bucket_of = np.minimum(self._bucket_of, len(self.bounds) - 1)
+
+    def _batch_indices(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+        global_bs = self.batch_size * self.num_shards
+        run_items = global_bs * self.run_length
+        runs = []  # each: list of (bucket_id, global_idx_batch)
+        for k in range(len(self.bounds)):
+            idxs = order[self._bucket_of[order] == k]
+            m = len(idxs) - len(idxs) % run_items
+            for i in range(0, m, run_items):
+                runs.append([
+                    (k, idxs[j : j + global_bs])
+                    for j in range(i, i + run_items, global_bs)
+                ])
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed * 7919 + self._epoch)
+            rng.shuffle(runs)
+        lo = self.shard_id * self.batch_size
+        hi = lo + self.batch_size
+        return [
+            (k, batch[lo:hi]) for run in runs for (k, batch) in run
+        ]
+
+    def _make_batch(self, spec):
+        k, idxs = spec
+        return self.collates[k]([self.dataset[int(i)] for i in idxs])
+
+    def __len__(self):
+        return len(self._batch_indices())

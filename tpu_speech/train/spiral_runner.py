@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from tpu_speech.data.loader import DataLoader
+from tpu_speech.data.loader import BucketedDataLoader, DataLoader
 from tpu_speech.data.spiral import (
     AudioAugmentor,
     AudioBatchCollate,
@@ -469,12 +469,46 @@ class SpiralFinetuneRunner:
         )
         self.collate = AudioTextBatchCollate(max_samples, 512)
         local_batch = m.train_ds.batch_size * jax.local_device_count()
-        self.loader = DataLoader(
-            self.dataset, local_batch, self.collate,
-            shuffle=m.train_ds.shuffle, num_workers=m.train_ds.num_workers,
-            shard_id=distributed.process_index(),
-            num_shards=distributed.process_count(),
-        )
+        num_buckets = max(1, getattr(m.train_ds, "num_buckets", 1))
+        accum = max(1, getattr(cfg.trainer, "accumulate_grad_batches", 1))
+        if num_buckets > 1:
+            # duration-bucketed static shapes: quantile bounds balance the
+            # buckets; label capacity scales with the bucket's audio bound
+            durations = np.array(
+                [e["duration"] for e in self.dataset.entries], dtype=np.float64
+            )
+            qs = np.quantile(
+                durations, np.arange(1, num_buckets + 1) / num_buckets
+            )
+            max_dur = max_samples / sr
+            # quantile bounds balance bucket populations; snap up to quarter
+            # seconds so near-equal quantiles collapse into one program
+            bounds = sorted(set(
+                min(max_dur, float(np.ceil(q * 4.0) / 4.0)) for q in qs
+            ))
+            bounds[-1] = max_dur
+
+            def collate_builder(bound_samples):
+                cap = -(-512 * bound_samples // max_samples)  # ceil-scale
+                labels = max(64, (cap + 31) // 32 * 32)
+                return AudioTextBatchCollate(bound_samples, int(labels))
+
+            self.loader = BucketedDataLoader(
+                self.dataset, local_batch, collate_builder,
+                durations, bounds, sr, run_length=accum,
+                shuffle=m.train_ds.shuffle,
+                num_workers=m.train_ds.num_workers,
+                shard_id=distributed.process_index(),
+                num_shards=distributed.process_count(),
+            )
+        else:
+            self.loader = DataLoader(
+                self.dataset, local_batch, self.collate,
+                shuffle=m.train_ds.shuffle,
+                num_workers=m.train_ds.num_workers,
+                shard_id=distributed.process_index(),
+                num_shards=distributed.process_count(),
+            )
 
         dec_cfg = getattr(m, "decoder", None)
         blank_pos = dec_cfg.blank_pos if dec_cfg is not None else "vocab_first"
@@ -597,16 +631,20 @@ class SpiralFinetuneRunner:
             state.params,
         )
 
-    def _train_masks(self, wav_lens):
+    def _train_masks(self, wav_width, wav_lens):
         """Spec-masking as a SpecAugment-style regularizer during finetune
         training (reference ctc_finetune.py:394-424 passes mask=training
-        into the encoder; same host-side mask generation as pretrain)."""
+        into the encoder; same host-side mask generation as pretrain).
+
+        wav_width: the batch's padded sample capacity — per-bucket under
+        duration bucketing, so the mask width matches wav_to_spec's output."""
         from tpu_speech.models.spiral.masking import make_student_masks
 
         hop = int(0.01 * self.sample_rate)
         spec_lens = np.ceil(np.asarray(wav_lens) / hop).astype(np.int32)
+        spec_len = _spec_len(int(wav_width), self.sample_rate)
         return make_student_masks(
-            len(spec_lens), self.spec_len, self.enc_cfg.num_features,
+            len(spec_lens), spec_len, self.enc_cfg.num_features,
             spec_lens, self.enc_cfg.mask_prob, self.enc_cfg.mask_length,
             self.enc_cfg.mask_channel_prob, self.enc_cfg.mask_channel_length,
             rng=self.host_rng,
@@ -617,7 +655,7 @@ class SpiralFinetuneRunner:
         for raw in self.loader:
             batch = {k: v for k, v in raw.items() if k != "texts"}
             batch["time_mask"], batch["chan_mask"] = self._train_masks(
-                batch["wav_lens"]
+                batch["wavs"].shape[1], batch["wav_lens"]
             )
             if self.accum > 1:
                 # leftovers persist across epochs rather than being dropped
@@ -731,11 +769,17 @@ class SpiralFinetuneRunner:
         return path
 
     def evaluate(self, manifest: Optional[str] = None, save_logits_dir=None,
-                 ds_cfg=None):
+                 ds_cfg=None, beam_width: int = 1, lm=None,
+                 lm_alpha: float = 0.5):
         """Test-mode WER (spiral_pretrain.py:140-190). ds_cfg selects the
         dataset knobs (sample rate, batch size, workers); defaults to
         test_ds, but validate() passes validation_ds so validation audio is
-        not loaded with test-set settings."""
+        not loaded with test-set settings.
+
+        beam_width>1 switches the greedy argmax decode to CTC prefix beam
+        search (eval/ctc_beam.py), optionally shallow-fused with ``lm``
+        (e.g. NGramLM fit on training transcripts) at weight ``lm_alpha`` —
+        beyond-reference: the reference decodes greedy-only."""
         m = self.cfg.model
         ds_cfg = ds_cfg or m.test_ds or m.validation_ds
         manifest = manifest or ds_cfg.manifest_filepath
@@ -757,9 +801,19 @@ class SpiralFinetuneRunner:
                 self.state.params, self.state.batch_stats,
                 jnp.asarray(raw["wavs"]), jnp.asarray(raw["wav_lens"]),
             )
-            ids = ctc_greedy_decode(
-                np.asarray(log_probs), np.asarray(lens), self.model.blank_idx
-            )
+            if beam_width > 1:
+                from tpu_speech.eval.ctc_beam import ctc_beam_search_batch
+
+                ids = ctc_beam_search_batch(
+                    np.asarray(log_probs), np.asarray(lens),
+                    blank=self.model.blank_idx, beam_width=beam_width,
+                    lm=lm, alpha=lm_alpha,
+                )
+            else:
+                ids = ctc_greedy_decode(
+                    np.asarray(log_probs), np.asarray(lens),
+                    self.model.blank_idx,
+                )
             for seq, text in zip(ids, raw["texts"]):
                 hyps.append(self.tokenizer.ids_to_text(seq))
                 refs.append(text)

@@ -79,6 +79,11 @@ class AudioDatasetConfig:
     tarred_audio_filepaths: Optional[str] = None
     shuffle_n: int = 0
     dup_factor: int = 1  # duplicate entries (reference dev_data_dup_factor)
+    # duration-bucketed static batching (CTC finetune): pad each batch to its
+    # bucket's bound instead of max_duration; k compiled programs, ~2x less
+    # padded compute on LibriSpeech-shaped data (data/loader.py:
+    # BucketedDataLoader). 1 = single static shape (reference-equivalent)
+    num_buckets: int = 1
 
 
 @dataclasses.dataclass
