@@ -270,3 +270,50 @@ def test_run_spiral_test_mode_beam_lm(tmp_path):
         "--lm_alpha=0.3",
     ])
     assert os.path.exists(os.path.join(logs, "wer_diagnosis.html"))
+
+
+@pytest.mark.slow
+def test_run_spiral_finetune_tarred(tmp_path):
+    """model.train_ds.tarred_audio_filepaths: the CTC finetune trains from
+    tar shards (the reference's TarredAudioToCharDataset path,
+    audio_to_text.py:798+)."""
+    import tarfile
+
+    import run_spiral
+
+    data = str(tmp_path / "data")
+    os.makedirs(data, exist_ok=True)
+    rng = np.random.default_rng(0)
+    words = ["hello", "world", "speech", "test", "audio"]
+    shard_paths = [os.path.join(data, f"shard_{i}.tar") for i in range(2)]
+    tars = [tarfile.open(p, "w") for p in shard_paths]
+    entries = []
+    for i in range(48):
+        wav = (rng.standard_normal(int(SR * 0.6)) * 0.1).astype(np.float32)
+        p = os.path.join(data, f"utt{i}.wav")
+        write_wav(p, wav, SR)
+        tars[i % 2].add(p, arcname=f"utt{i}.wav")
+        entries.append({
+            "audio_filepath": p, "duration": 0.6,
+            "text": " ".join(rng.choice(words, size=2)),
+        })
+    for t in tars:
+        t.close()
+    with open(os.path.join(data, "manifest.json"), "w") as f:
+        for e in entries:
+            f.write(json.dumps(e) + "\n")
+
+    logs = str(tmp_path / "logs_tar")
+    run_spiral.main([
+        "--config_name=spiral_tiny_test",
+        "--manifest_dir", data,
+        "--model_save_dir", logs,
+        "--model_type=ctc_finetune",
+        "--max_epochs=1",
+        "--resume_if_exists=false",
+        "--set",
+        "model.train_ds.tarred_audio_filepaths=" + ",".join(shard_paths),
+    ])
+    log_text = open(os.path.join(logs, "train.log")).read()
+    m = re.search(r"ctc loss = ([-\d.a-z]+)", log_text)
+    assert m and np.isfinite(float(m.group(1))), log_text

@@ -462,16 +462,50 @@ class SpiralFinetuneRunner:
         sr = m.train_ds.sample_rate
         max_samples = int((m.train_ds.max_duration or 24.0) * sr)
         self.max_samples = max_samples
-        self.dataset = AudioToTextDataset(
-            m.train_ds.manifest_filepath, tokenizer, sample_rate=sr,
-            crop_size=max_samples, min_duration=m.train_ds.min_duration,
-            max_duration=m.train_ds.max_duration,
-        )
+        self._tarred = bool(getattr(m.train_ds, "tarred_audio_filepaths", None))
+        if self._tarred:
+            # tarred char/BPE variant (audio_to_text.py:798+): stream wav+text
+            # from tar shards, labels via the tokenizer
+            from tpu_speech.data.spiral import TarredAudioDataset
+
+            self.dataset = TarredAudioDataset(
+                m.train_ds.manifest_filepath,
+                m.train_ds.tarred_audio_filepaths,
+                sr, crop_size=max_samples,
+                min_duration=m.train_ds.min_duration,
+                max_duration=m.train_ds.max_duration,
+                shuffle_n=getattr(m.train_ds, "shuffle_n", 0),
+                shard_id=distributed.process_index(),
+                num_shards=distributed.process_count(),
+                tokenizer=tokenizer,
+            )
+        else:
+            self.dataset = AudioToTextDataset(
+                m.train_ds.manifest_filepath, tokenizer, sample_rate=sr,
+                crop_size=max_samples, min_duration=m.train_ds.min_duration,
+                max_duration=m.train_ds.max_duration,
+            )
         self.collate = AudioTextBatchCollate(max_samples, 512)
         local_batch = m.train_ds.batch_size * jax.local_device_count()
         num_buckets = max(1, getattr(m.train_ds, "num_buckets", 1))
         accum = max(1, getattr(cfg.trainer, "accumulate_grad_batches", 1))
-        if num_buckets > 1:
+        if self._tarred:
+            if num_buckets > 1:
+                raise ValueError(
+                    "train_ds.num_buckets requires random-access manifests; "
+                    "tarred shards stream in order (one static shape)"
+                )
+            dataset, collate, bs = self.dataset, self.collate, local_batch
+
+            class _TarLoader:
+                def __iter__(self):
+                    return dataset.iter_batches(bs, collate)
+
+                def __len__(self):
+                    return len(dataset) // bs
+
+            self.loader = _TarLoader()
+        elif num_buckets > 1:
             # duration-bucketed static shapes: quantile bounds balance the
             # buckets; label capacity scales with the bucket's audio bound
             durations = np.array(
