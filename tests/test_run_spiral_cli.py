@@ -113,6 +113,18 @@ def test_finetune_validate_and_transcribe(tmp_path):
     assert len(texts) == 3
     assert all(isinstance(t, str) for t in texts)
 
+    # long audio: > max_duration goes down the chunked-stitch path (the
+    # reference truncates); order must be preserved vs the short files
+    long_wav = (np.random.default_rng(1).standard_normal(
+        int(SR * 2.5)) * 0.1).astype(np.float32)
+    long_path = os.path.join(data, "long.wav")
+    write_wav(long_path, long_wav, SR)
+    mixed = [wavs[0], long_path, wavs[1]]
+    texts2 = runner.transcribe(mixed, batch_size=2, overlap_s=0.3)
+    assert len(texts2) == 3
+    assert texts2[0] == texts[0] and texts2[2] == texts[1]
+    assert isinstance(texts2[1], str)
+
 
 @pytest.mark.slow
 def test_run_spiral_export_model(tmp_path):

@@ -735,34 +735,86 @@ class SpiralFinetuneRunner:
                 )
         return results
 
-    def transcribe(self, audio_paths, batch_size: int = 4):
-        """Greedy-decode a list of wav files -> texts (the reference's
-        CTCFinetuneModel.transcribe, ctc_finetune.py:135-170)."""
+    def transcribe(self, audio_paths, batch_size: int = 4,
+                   overlap_s: float = 3.2):
+        """Decode a list of wav files -> texts (the reference's
+        CTCFinetuneModel.transcribe, ctc_finetune.py:135-170).
+
+        Beyond-reference: audio longer than max_duration is transcribed in
+        overlapping max_duration windows whose log-probs are stitched at the
+        overlap midpoints before one CTC decode — the reference (and the
+        short path here) silently truncates at the crop. ``overlap_s`` must
+        exceed the encoder's receptive field so midpoint frames see full
+        context from one side or the other."""
         from tpu_speech.data.wav import read_wav
 
         sr = self.cfg.model.train_ds.sample_rate
-        texts = []
-        for i in range(0, len(audio_paths), batch_size):
-            chunk = audio_paths[i : i + batch_size]
-            wavs, lens = [], []
-            for path in chunk:
-                wav, wav_sr = read_wav(path)
-                assert wav_sr == sr, (path, wav_sr)
-                wavs.append(wav[: self.max_samples])
-                lens.append(len(wavs[-1]))
-            padded = np.zeros((len(chunk), self.max_samples), np.float32)
-            for j, w in enumerate(wavs):
+        texts = [None] * len(audio_paths)
+        short = []  # (position, wav)
+        for pos, path in enumerate(audio_paths):
+            wav, wav_sr = read_wav(path)
+            assert wav_sr == sr, (path, wav_sr)
+            if len(wav) > self.max_samples:
+                lp = self._chunked_log_probs(wav, overlap_s)
+                ids = ctc_greedy_decode(
+                    lp[None], np.array([lp.shape[0]]), self.model.blank_idx
+                )[0]
+                texts[pos] = self.tokenizer.ids_to_text(ids)
+            else:
+                short.append((pos, wav))
+        for i in range(0, len(short), batch_size):
+            group = short[i : i + batch_size]
+            padded = np.zeros((len(group), self.max_samples), np.float32)
+            lens = np.zeros((len(group),), np.int32)
+            for j, (_, w) in enumerate(group):
                 padded[j, : len(w)] = w
+                lens[j] = len(w)
             log_probs, out_lens = self._infer_fn()(
                 self.state.params, self.state.batch_stats,
-                jnp.asarray(padded), jnp.asarray(np.array(lens, np.int32)),
+                jnp.asarray(padded), jnp.asarray(lens),
             )
             ids = ctc_greedy_decode(
                 np.asarray(log_probs), np.asarray(out_lens),
                 self.model.blank_idx,
             )
-            texts.extend(self.tokenizer.ids_to_text(seq) for seq in ids)
+            for (pos, _), seq in zip(group, ids):
+                texts[pos] = self.tokenizer.ids_to_text(seq)
         return texts
+
+    def _chunked_log_probs(self, wav: np.ndarray, overlap_s: float
+                           ) -> np.ndarray:
+        """Run overlapping full-width windows over one long wav and stitch
+        their frame log-probs at the overlap midpoints (each kept frame has
+        >= overlap/2 of acoustic context on its clipped side)."""
+        sr = self.cfg.model.train_ds.sample_rate
+        window = self.max_samples
+        ov = min(int(overlap_s * sr), window // 2)
+        hop = window - ov
+        starts = list(range(0, len(wav), hop))
+        # drop windows that add no new kept region
+        while len(starts) > 1 and starts[-1] + ov >= len(wav):
+            starts.pop()
+        infer = self._infer_fn()
+        pieces = []
+        for k, s in enumerate(starts):
+            seg = wav[s : s + window]
+            padded = np.zeros((1, window), np.float32)
+            padded[0, : len(seg)] = seg
+            lp, out_len = infer(
+                self.state.params, self.state.batch_stats,
+                jnp.asarray(padded),
+                jnp.asarray(np.array([len(seg)], np.int32)),
+            )
+            lp = np.asarray(lp)[0]
+            f = int(np.asarray(out_len)[0])  # valid frames this window
+            frames_per_sample = f / max(len(seg), 1)
+            lo = 0 if k == 0 else int(round((ov / 2) * frames_per_sample))
+            hi = (
+                f if k == len(starts) - 1
+                else f - int(round((ov / 2) * frames_per_sample))
+            )
+            pieces.append(lp[lo:hi])
+        return np.concatenate(pieces, axis=0)
 
     _infer_cache = None
 
