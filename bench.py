@@ -110,7 +110,14 @@ def bench_tts(e2e: bool, bf16: bool = False, solver: str = "euler",
                     y_max_length=BUCKET, temperature=1.5, length_scale=0.91,
                     rng=k, solver=solver,
                 )
-                return 0.0, (voc.apply(vp, dec), ylen)
+                # emit int16 PCM on device — the wav file's payload format
+                # (cli/inference.py does the same); halves the transfer,
+                # measured ~7 ms/utterance on the tunneled chip
+                pcm = (
+                    jnp.clip(voc.apply(vp, dec).astype(jnp.float32), -1.0, 1.0)
+                    * 32767.0
+                ).astype(jnp.int16)
+                return 0.0, (pcm, ylen)
             _, (wavs, ylens) = jax.lax.scan(
                 body, 0.0, jax.random.split(rng, CHAIN)
             )
@@ -299,7 +306,11 @@ def bench_tts_throughput(batch: int = 16):
             model, p, x, xl, n_timesteps=N_STEPS, y_max_length=BUCKET,
             temperature=1.5, length_scale=0.91, rng=rng,
         )
-        return voc.apply(vp, dec), ylen
+        pcm = (
+            jnp.clip(voc.apply(vp, dec).astype(jnp.float32), -1.0, 1.0)
+                    * 32767.0
+        ).astype(jnp.int16)
+        return pcm, ylen
 
     t, (_, ylens) = _median_time(
         synth, params, voc_params, x, xl, jax.random.PRNGKey(0), n=5

@@ -98,3 +98,23 @@ def test_accumulation_runs_share_shape():
     assert len(shapes) % 2 == 0
     for i in range(0, len(shapes), 2):
         assert shapes[i] == shapes[i + 1]  # grad-accum stack is stackable
+
+
+def test_write_wav_accepts_int16(tmp_path):
+    """On-device PCM quantization path: int16 input writes the same file as
+    the equivalent float input."""
+    import scipy.io.wavfile
+
+    from tpu_speech.data.wav import write_wav
+
+    rng = np.random.default_rng(0)
+    f = np.clip(rng.standard_normal(1000) * 0.3, -1, 1).astype(np.float32)
+    i16 = (f * 32767.0).astype(np.int16)
+    p1, p2 = str(tmp_path / "f.wav"), str(tmp_path / "i.wav")
+    write_wav(p1, f, 8000)
+    write_wav(p2, i16, 8000)
+    r1, d1 = scipy.io.wavfile.read(p1)
+    r2, d2 = scipy.io.wavfile.read(p2)
+    assert r1 == r2 == 8000
+    np.testing.assert_array_equal(d1, d2)
+    assert d2.dtype == np.int16

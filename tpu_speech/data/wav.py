@@ -53,7 +53,11 @@ def read_audio(path: str):
 
 
 def write_wav(path: str, wav: np.ndarray, sr: int):
-    """Write float wav in [-1, 1] as 16-bit PCM."""
+    """Write float wav in [-1, 1] — or already-quantized int16 PCM — as a
+    16-bit PCM file."""
     wav = np.asarray(wav)
+    if wav.dtype == np.int16:
+        scipy.io.wavfile.write(path, sr, wav)
+        return
     pcm = np.clip(wav, -1.0, 1.0)
     scipy.io.wavfile.write(path, sr, (pcm * 32767.0).astype(np.int16))
