@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--log-dir", default="logs/dec")
     ap.add_argument("--epochs", type=int, default=110)
     ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--precision", default="fp32",
+                    choices=["fp32", "bf16"],
+                    help="bf16: mixed-precision network compute, fp32 "
+                         "master weights (train/diffvc.py)")
     ap.add_argument("--lr", type=float, default=1e-4)
     args = ap.parse_args()
 
@@ -84,7 +88,7 @@ def main():
     tx = optax.adam(args.lr)
     state = TrainState.create({"params": model_params}, tx)
     trainer = DiffVCTrainer(
-        make_dec_train_step(model, tx), state, args.log_dir, exp=exp,
+        make_dec_train_step(model, tx, bf16=(args.precision == "bf16")), state, args.log_dir, exp=exp,
         preview_fn=make_dec_preview(model, preview_batch),
     )
     if trainer.resume_if_exists():

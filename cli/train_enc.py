@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--log-dir", default="logs/enc")
     ap.add_argument("--epochs", type=int, default=300)
     ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--precision", default="fp32",
+                    choices=["fp32", "bf16"],
+                    help="bf16: mixed-precision network compute, fp32 "
+                         "master weights (train/diffvc.py)")
     ap.add_argument("--lr", type=float, default=5e-4)
     args = ap.parse_args()
 
@@ -59,7 +63,7 @@ def main():
     tx = optax.adam(args.lr)
     state = TrainState.create({"params": variables["params"]}, tx)
     trainer = DiffVCTrainer(
-        make_enc_train_step(model, tx), state, args.log_dir, exp=exp,
+        make_enc_train_step(model, tx, bf16=(args.precision == "bf16")), state, args.log_dir, exp=exp,
         preview_fn=make_enc_preview(model, preview_batch),
     )
     if trainer.resume_if_exists():

@@ -237,3 +237,51 @@ def test_mel_spectral_subtraction_uses_source_silence():
     # frames where subtraction dominates the floor must match exactly
     expect = np.log(np.sqrt(np.maximum(sig, 0.02 * noise[:, None]))).T
     np.testing.assert_allclose(out, expect, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_diffvc_bf16_steps(rng):
+    """bf16 mixed precision for both DiffVC stages: finite fp32 loss, fp32
+    master params preserved, encoder still frozen in the decoder stage."""
+    model = FwdDiffusion(**TINY_ENC)
+    n_mels = TINY_ENC["n_feats"]
+    x = jnp.zeros((4, 32, n_mels))
+    mask = jnp.ones((4, 32, 1))
+    variables = model.init(jax.random.PRNGKey(0), x, mask, train=False)
+    tx = optax.adam(5e-4)
+    state = TrainState.create({"params": variables["params"]}, tx)
+    step = make_enc_train_step(model, tx, bf16=True)
+    batch = {
+        "x": rng.standard_normal((4, 32, n_mels)).astype(np.float32),
+        "y": rng.standard_normal((4, 32, n_mels)).astype(np.float32),
+        "lengths": np.full((4,), 32, dtype=np.int32),
+    }
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert metrics["loss"].dtype == jnp.float32
+    assert np.isfinite(float(metrics["loss"]))
+    for p in jax.tree.leaves(state.params):
+        assert p.dtype == jnp.float32  # master weights stay fp32
+
+    dec = DiffVC(n_feats=8, channels=16, filters=32, heads=2, layers=1,
+                 kernel=3, dropout=0.1, window_size=2, enc_dim=8, spk_dim=16,
+                 use_ref_t=True, dec_dim=16)
+    b, tf, f = 4, 16, 8
+    variables = dec.init(
+        jax.random.PRNGKey(0), jnp.zeros((b, tf, f)), jnp.full((b,), tf),
+        jnp.zeros((b, tf, f)), jnp.zeros((b, 256)), jax.random.PRNGKey(1),
+        train=False,
+    )
+    state = TrainState.create({"params": variables["params"]}, optax.adam(1e-4))
+    step = make_dec_train_step(dec, optax.adam(1e-4), bf16=True)
+    batch = {
+        "mel1": rng.standard_normal((b, tf, f)).astype(np.float32),
+        "mel2": rng.standard_normal((b, tf, f)).astype(np.float32),
+        "mel_lengths": np.full((b,), tf, dtype=np.int32),
+        "c": rng.standard_normal((b, 256)).astype(np.float32),
+    }
+    enc_before = jax.device_get(state.params["params"]["encoder"])
+    state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    enc_after = jax.device_get(state.params["params"]["encoder"])
+    for a, b_ in zip(jax.tree.leaves(enc_before), jax.tree.leaves(enc_after)):
+        np.testing.assert_array_equal(a, b_)

@@ -24,16 +24,32 @@ from tpu_speech.train.state import TrainState
 from tpu_speech.utils.checkpoint import Checkpointer
 
 
-def make_enc_train_step(model: FwdDiffusion, tx):
+def _cast_bf16(tree):
+    return jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16)
+        if jnp.issubdtype(p.dtype, jnp.floating) else p,
+        tree,
+    )
+
+
+def make_enc_train_step(model: FwdDiffusion, tx, bf16: bool = False):
+    """bf16=True casts params + mels to bfloat16 for the network forward/
+    backward; master params, optimizer state, and updates stay float32
+    (same scheme as train/gradtts.py and the SPIRAL steps)."""
+
     def loss_fn(params, batch, rng):
-        mask = sequence_mask(batch["lengths"], batch["x"].shape[1]).astype(
-            batch["x"].dtype
+        x, y = batch["x"], batch["y"]
+        if bf16:
+            params, x, y = _cast_bf16(params), _cast_bf16(x), _cast_bf16(y)
+        mask = sequence_mask(batch["lengths"], x.shape[1]).astype(
+            x.dtype
         )[:, :, None]
-        return model.apply(
-            {"params": params}, batch["x"], batch["y"], mask,
+        loss = model.apply(
+            {"params": params}, x, y, mask,
             train=True, method=FwdDiffusion.compute_loss,
             rngs={"dropout": rng},
         )
+        return loss.astype(jnp.float32)
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, rng):
@@ -54,13 +70,20 @@ def make_enc_train_step(model: FwdDiffusion, tx):
     return step
 
 
-def make_dec_train_step(model: DiffVC, tx):
+def make_dec_train_step(model: DiffVC, tx, bf16: bool = False):
+    """bf16: same mixed-precision scheme as make_enc_train_step."""
+
     def loss_fn(params, batch, rng):
-        return model.apply(
+        mel1, mel2, c = batch["mel1"], batch["mel2"], batch["c"]
+        if bf16:
+            params = _cast_bf16(params)
+            mel1, mel2, c = _cast_bf16(mel1), _cast_bf16(mel2), _cast_bf16(c)
+        loss = model.apply(
             {"params": params},
-            batch["mel1"], batch["mel_lengths"], batch["mel2"], batch["c"],
+            mel1, batch["mel_lengths"], mel2, c,
             rng, train=True, rngs={"dropout": jax.random.fold_in(rng, 5)},
         )
+        return loss.astype(jnp.float32)
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, rng):
