@@ -83,3 +83,38 @@ def test_tail_window_is_kept():
     )
     full = _fake_log_probs(wav)
     assert stitched.shape[0] == full.shape[0]
+
+
+class _IdTokenizer:
+    def ids_to_text(self, ids):
+        return " ".join(str(i) for i in ids)
+
+
+def test_transcribe_beam_matches_greedy_on_peaked_probs(monkeypatch, tmp_path):
+    """transcribe(beam_width>1) routes through prefix beam search; on the
+    fake encoder's near-one-hot frames the beam result must equal greedy,
+    on both the short path and the chunked long-audio path."""
+    stub = _stub(8000)
+    stub.model = types.SimpleNamespace(blank_idx=0)
+    stub.tokenizer = _IdTokenizer()
+    stub._chunked_log_probs = (
+        lambda wav, overlap_s: SpiralFinetuneRunner._chunked_log_probs(
+            stub, wav, overlap_s
+        )
+    )
+
+    short_wav = np.full(4000, 0.5)           # fits in one window
+    long_wav = np.concatenate([               # forces the chunked path
+        np.full(6400, 0.5), np.full(6400, -0.5), np.full(6400, 0.5)
+    ])
+    wavs = {"short.wav": short_wav, "long.wav": long_wav}
+    monkeypatch.setattr(
+        "tpu_speech.data.wav.read_wav",
+        lambda path: (wavs[path.split("/")[-1]], SR),
+    )
+
+    paths = [str(tmp_path / "short.wav"), str(tmp_path / "long.wav")]
+    greedy = SpiralFinetuneRunner.transcribe(stub, paths)
+    beam = SpiralFinetuneRunner.transcribe(stub, paths, beam_width=8)
+    assert greedy == beam
+    assert all(t for t in greedy)  # both decoded something non-empty

@@ -736,7 +736,8 @@ class SpiralFinetuneRunner:
         return results
 
     def transcribe(self, audio_paths, batch_size: int = 4,
-                   overlap_s: float = 3.2):
+                   overlap_s: float = 3.2, beam_width: int = 1,
+                   lm=None, lm_alpha: float = 0.5):
         """Decode a list of wav files -> texts (the reference's
         CTCFinetuneModel.transcribe, ctc_finetune.py:135-170).
 
@@ -749,6 +750,20 @@ class SpiralFinetuneRunner:
         from tpu_speech.data.wav import read_wav
 
         sr = self.cfg.model.train_ds.sample_rate
+
+        def decode(log_probs, lens):
+            if beam_width > 1:
+                from tpu_speech.eval.ctc_beam import ctc_beam_search_batch
+
+                return ctc_beam_search_batch(
+                    np.asarray(log_probs), np.asarray(lens),
+                    blank=self.model.blank_idx, beam_width=beam_width,
+                    lm=lm, alpha=lm_alpha,
+                )
+            return ctc_greedy_decode(
+                np.asarray(log_probs), np.asarray(lens), self.model.blank_idx
+            )
+
         texts = [None] * len(audio_paths)
         short = []  # (position, wav)
         for pos, path in enumerate(audio_paths):
@@ -756,9 +771,7 @@ class SpiralFinetuneRunner:
             assert wav_sr == sr, (path, wav_sr)
             if len(wav) > self.max_samples:
                 lp = self._chunked_log_probs(wav, overlap_s)
-                ids = ctc_greedy_decode(
-                    lp[None], np.array([lp.shape[0]]), self.model.blank_idx
-                )[0]
+                ids = decode(lp[None], np.array([lp.shape[0]]))[0]
                 texts[pos] = self.tokenizer.ids_to_text(ids)
             else:
                 short.append((pos, wav))
@@ -773,10 +786,7 @@ class SpiralFinetuneRunner:
                 self.state.params, self.state.batch_stats,
                 jnp.asarray(padded), jnp.asarray(lens),
             )
-            ids = ctc_greedy_decode(
-                np.asarray(log_probs), np.asarray(out_lens),
-                self.model.blank_idx,
-            )
+            ids = decode(log_probs, out_lens)
             for (pos, _), seq in zip(group, ids):
                 texts[pos] = self.tokenizer.ids_to_text(seq)
         return texts
