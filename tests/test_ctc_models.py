@@ -85,3 +85,39 @@ def test_quartznet_preset_shapes():
     blocks = quartznet5x3_blocks(16)
     assert len(blocks) == 5
     assert blocks[0].stride == 2 and blocks[0].separable
+
+
+def test_ctc_bpe_model_and_decode(rng, tmp_path):
+    """EncDecCTCModelBPE analog: vocab size comes from the tokenizer, decode
+    goes through tokenizer.ids_to_text (reference ctc_bpe_models.py:60-90 +
+    metrics/wer_bpe.py)."""
+    from tpu_speech.models.spiral.ctc_models import (
+        decode_ctc_bpe,
+        make_ctc_bpe_model,
+    )
+    from tpu_speech.text.tokenizers import SubwordTokenizer
+
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text(
+        "\n".join(["<unk>", "▁the", "▁cat", "▁s", "at", "s"]),
+        encoding="utf-8",
+    )
+    tok = SubwordTokenizer(str(vocab))
+    model = make_ctc_bpe_model(
+        tok, blocks=TINY.blocks, n_mels=12, decoder_filters=16
+    )
+    assert model.cfg.num_classes == tok.vocab_size
+    assert model.blank_idx == tok.vocab_size  # appended after vocab
+
+    specs = jnp.asarray(rng.standard_normal((2, 24, 12)).astype(np.float32))
+    spec_lens = jnp.array([24, 16], dtype=jnp.int32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        specs, spec_lens,
+    )
+    log_probs, out_lens = model.apply(params, specs, spec_lens)
+    assert log_probs.shape[-1] == tok.vocab_size + 1
+    texts = decode_ctc_bpe(log_probs, out_lens, tok, model.blank_idx)
+    assert len(texts) == 2 and all(isinstance(t, str) for t in texts)
+    # round trip sanity: tokenizer inverts its own encoding
+    assert tok.ids_to_text(tok.text_to_ids("the cat sat")) == "the cat sat"

@@ -93,6 +93,35 @@ class EncDecCTCModel(nn.Module):
         return log_probs, out_lens
 
 
+def make_ctc_bpe_model(tokenizer,
+                       blocks: Tuple[JasperBlockCfg, ...] = None,
+                       **cfg_overrides) -> EncDecCTCModel:
+    """EncDecCTCModelBPE analog (reference ctc_bpe_models.py:60-90): the
+    conv-CTC model with a subword tokenizer supplying the vocabulary size;
+    blank appended after the vocab, exactly as the reference initializes
+    `cfg.decoder.vocabulary` from `tokenizer.get_vocab()`."""
+    cfg = EncDecCTCConfig(
+        num_classes=tokenizer.vocab_size,
+        blocks=blocks if blocks is not None else quartznet5x3_blocks(),
+        **cfg_overrides,
+    )
+    return EncDecCTCModel(cfg)
+
+
+def decode_ctc_bpe(log_probs, out_lens, tokenizer, blank_idx: int):
+    """Greedy decode to text via the tokenizer — the WERBPE decode path
+    (reference metrics/wer_bpe.py: ctc_decoder_predictions_tensor uses
+    tokenizer.ids_to_text instead of a char vocabulary)."""
+    import numpy as np
+
+    from tpu_speech.eval.wer import ctc_greedy_decode
+
+    ids = ctc_greedy_decode(
+        np.asarray(log_probs), np.asarray(out_lens), blank_idx
+    )
+    return [tokenizer.ids_to_text(seq) for seq in ids]
+
+
 def init_ctc_state(model: EncDecCTCModel, rng, input_shape, tx):
     from tpu_speech.models.spiral.ctc import CTCTrainState
 
