@@ -28,10 +28,15 @@ class DataLoader:
         seed: int = 0,
         shard_id: int = 0,
         num_shards: int = 1,
+        batch_fn: Callable = None,
     ):
         """shard_id/num_shards: multi-host data sharding — every process
         shuffles with the same seed (consistent global order) then takes a
-        strided subset, the jax.distributed analog of DistributedSampler."""
+        strided subset, the jax.distributed analog of DistributedSampler.
+
+        batch_fn: optional whole-batch builder `idxs -> batch dict` that
+        replaces the per-item dataset fetch + collate (used by the native
+        C++ pipeline, data/native_pipeline.py::NativePretrainBatcher)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -42,6 +47,7 @@ class DataLoader:
         self.seed = seed
         self.shard_id = shard_id
         self.num_shards = max(1, num_shards)
+        self.batch_fn = batch_fn
         self._epoch = 0
 
     def __len__(self):
@@ -72,6 +78,8 @@ class DataLoader:
         return batches
 
     def _make_batch(self, idxs):
+        if self.batch_fn is not None:
+            return self.batch_fn(idxs)
         return self.collate_fn([self.dataset[int(i)] for i in idxs])
 
     def __iter__(self) -> Iterator:

@@ -159,11 +159,23 @@ class SpiralPretrainRunner:
                 m.train_ds.crop_size, m.train_ds.min_duration,
                 m.train_ds.max_duration, augmentor=aug, return_both=True,
             )
+            batch_fn = None
+            if getattr(m.train_ds, "use_native_loader", True):
+                from tpu_speech.data.native_pipeline import (
+                    NativePretrainBatcher,
+                )
+
+                batch_fn = NativePretrainBatcher.maybe_build(
+                    self.dataset, seed=distributed.process_index(),
+                )
+                if batch_fn is not None and self.primary:
+                    print("input pipeline: native C++ batch prep")
             self.loader = DataLoader(
                 self.dataset, local_batch, self.collate,
                 shuffle=m.train_ds.shuffle, num_workers=m.train_ds.num_workers,
                 shard_id=distributed.process_index(),
                 num_shards=distributed.process_count(),
+                batch_fn=batch_fn,
             )
         self.spec_len = _spec_len(m.train_ds.crop_size, m.train_ds.sample_rate)
 

@@ -84,6 +84,10 @@ class AudioDatasetConfig:
     # padded compute on LibriSpeech-shaped data (data/loader.py:
     # BucketedDataLoader). 1 = single static shape (reference-equivalent)
     num_buckets: int = 1
+    # native C++/OpenMP batch prep (read+crop+SNR-mix+collate fused, GIL
+    # released; data/native_pipeline.py). Auto-falls back to the Python path
+    # when the library can't build or the augmentor isn't expressible.
+    use_native_loader: bool = True
 
 
 @dataclasses.dataclass
