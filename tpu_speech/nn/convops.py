@@ -82,13 +82,22 @@ def conv_transpose1d(
 ) -> jnp.ndarray:
     """Torch ConvTranspose1d: (B, T, Cin) * (k, Cin, Cout) -> (B, (T-1)*s - 2p + k, Cout).
 
-    Expressed as the transposed convolution identity: dilate the input by the
-    stride, pad by (k-1-p), correlate with the spatially flipped kernel.
+    When the kernel is a multiple of the stride (every HiFi-GAN upsampler:
+    16/8, 4/2) the transposed conv is computed as a SUBPIXEL conv — a dense
+    kernel-(k/s) conv at the LOW rate producing s*Cout channels, then a
+    depth-to-space interleave. Exact same arithmetic per output sample
+    (out[q*s + r] = sum_i x[q-i] . W[r + i*s]), but the MXU sees a dense
+    matmul instead of an input-dilated window that is (s-1)/s zeros.
+
+    Otherwise falls back to the transposed-convolution identity: dilate the
+    input by the stride, pad by (k-1-p), correlate with the flipped kernel.
     """
     k = w.shape[0]
-    w_flip = jnp.flip(w, axis=0)
     if x.dtype != w.dtype:
         x = x.astype(w.dtype)
+    if stride > 1 and k % stride == 0:
+        return _conv_transpose1d_subpixel(x, w, b, stride, padding)
+    w_flip = jnp.flip(w, axis=0)
     y = lax.conv_general_dilated(
         x,
         w_flip,
@@ -102,6 +111,34 @@ def conv_transpose1d(
     return y
 
 
+def _conv_transpose1d_subpixel(x, w, b, stride: int, padding: int):
+    """Subpixel formulation of ConvTranspose1d for k % s == 0.
+
+    With m = o + padding, q = m // s, r = m % s, the transposed conv is
+    out[m] = sum_{i<k/s} x[q - i] . W[r + i*s]; i.e. per low-rate position q
+    a dense conv with c = k/s taps emitting all s phases at once.
+    """
+    k, cin, cout = w.shape
+    s, c = stride, w.shape[0] // stride
+    B, T, _ = x.shape
+    # K[j, :, r*Cout+co] = W[r + (c-1-j)*s, :, co]  (tap flip for lax.conv)
+    kbig = jnp.flip(w.reshape(c, s, cin, cout), axis=0)
+    kbig = kbig.transpose(0, 2, 1, 3).reshape(c, cin, s * cout)
+    y = lax.conv_general_dilated(
+        x,
+        kbig,
+        window_strides=(1,),
+        padding=[(c - 1, c - 1)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    )  # (B, T + c - 1, s*Cout); row q holds phases m = q*s + r
+    y = y.reshape(B, (T + c - 1) * s, cout)
+    out_len = (T - 1) * s - 2 * padding + k
+    y = lax.slice_in_dim(y, padding, padding + out_len, axis=1)
+    if b is not None:
+        y = y + b
+    return y
+
+
 def conv_transpose2d(
     x: jnp.ndarray,
     w: jnp.ndarray,
@@ -109,13 +146,22 @@ def conv_transpose2d(
     stride: IntOrPair = 1,
     padding: IntOrPair = 0,
 ) -> jnp.ndarray:
-    """Torch ConvTranspose2d geometry, channels-last, kernel (kh, kw, Cin, Cout)."""
+    """Torch ConvTranspose2d geometry, channels-last, kernel (kh, kw, Cin, Cout).
+
+    Like conv_transpose1d, strides that divide their kernel dim run as a
+    SUBPIXEL conv (dense low-rate conv emitting sh*sw*Cout channels + a
+    depth-to-space interleave) instead of an input-dilated window that is
+    mostly zeros — e.g. the U-Net Upsample (k=4, s=2) does 4 dense taps
+    instead of 16 taps over a 3/4-zero input.
+    """
     kh, kw = w.shape[0], w.shape[1]
     ph, pw = _pair(padding)
     sh, sw = _pair(stride)
-    w_flip = jnp.flip(w, axis=(0, 1))
     if x.dtype != w.dtype:
         x = x.astype(w.dtype)
+    if (sh > 1 or sw > 1) and kh % sh == 0 and kw % sw == 0:
+        return _conv_transpose2d_subpixel(x, w, b, (sh, sw), (ph, pw))
+    w_flip = jnp.flip(w, axis=(0, 1))
     y = lax.conv_general_dilated(
         x,
         w_flip,
@@ -123,6 +169,46 @@ def conv_transpose2d(
         padding=[(kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)],
         lhs_dilation=(sh, sw),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if b is not None:
+        y = y + b
+    return y
+
+
+def _conv_transpose2d_subpixel(x, w, b, stride, padding):
+    """Subpixel ConvTranspose2d for kh % sh == 0 and kw % sw == 0.
+
+    Per low-rate position (qh, qw) a dense (ch, cw)-tap conv emits all
+    sh*sw phases at once:
+    out[mh, mw] = sum_{i<ch, j<cw} x[qh-i, qw-j] . W[rh + i*sh, rw + j*sw]
+    with m = q*s + r; then depth-to-space and crop by the torch padding.
+    """
+    kh, kw, cin, cout = w.shape
+    sh, sw = stride
+    ph, pw = padding
+    ch, cw = kh // sh, kw // sw
+    B, H, W, _ = x.shape
+    # K[i', j', :, (rh, rw, co)] = W[rh + (ch-1-i')*sh, rw + (cw-1-j')*sw]
+    kbig = w.reshape(ch, sh, cw, sw, cin, cout)
+    kbig = jnp.flip(kbig, axis=(0, 2))
+    # -> (ch, cw, cin, sh, sw, cout) -> (ch, cw, cin, sh*sw*cout)
+    kbig = kbig.transpose(0, 2, 4, 1, 3, 5).reshape(
+        ch, cw, cin, sh * sw * cout
+    )
+    y = lax.conv_general_dilated(
+        x,
+        kbig,
+        window_strides=(1, 1),
+        padding=[(ch - 1, ch - 1), (cw - 1, cw - 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (B, H+ch-1, W+cw-1, sh*sw*cout)
+    Hq, Wq = H + ch - 1, W + cw - 1
+    y = y.reshape(B, Hq, Wq, sh, sw, cout)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hq * sh, Wq * sw, cout)
+    out_h = (H - 1) * sh - 2 * ph + kh
+    out_w = (W - 1) * sw - 2 * pw + kw
+    y = lax.slice(
+        y, (0, ph, pw, 0), (B, ph + out_h, pw + out_w, cout)
     )
     if b is not None:
         y = y + b
