@@ -195,3 +195,26 @@ def test_wer_html_diagnosis(tmp_path):
     html = open(path).read()
     assert "u2" in html and 'class="sub"' in html and 'class="ins"' in html
     assert "WER = 28.57%" in html
+
+
+def test_wer_text_preprocess_and_keyphrases():
+    from tpu_speech.eval.wer import (
+        key_phrase_stats,
+        remove_comment_txt_preprocess,
+        txt_preprocess,
+    )
+
+    assert txt_preprocess('Hello, World! "quoted" (x)\n\tnext') == \
+        "hello world quoted x next"
+    assert txt_preprocess("end.") == "end"
+    assert remove_comment_txt_preprocess("keep [noise] this.") == "keep this"
+
+    stats = key_phrase_stats(
+        hypotheses=["call john smith now", "no phrase here"],
+        references=["call john smith today", "john smith was here"],
+        key_phrases=["john smith"],
+    )
+    assert stats["matched"] == 1
+    assert stats["ref_keyphrases"] == 2 and stats["hyp_keyphrases"] == 1
+    assert stats["jaccard"] == pytest.approx(1 / 2)
+    assert stats["f1"] == pytest.approx(2 / 3)

@@ -7,9 +7,52 @@ error rates via native Levenshtein distance (no editdistance dependency).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+import re
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
+
+
+def txt_preprocess(txt: str) -> str:
+    """Normalize text before WER scoring (simple_wer_v2.py:54-76
+    TxtPreprocess): lowercase, strip sentence punctuation at word
+    boundaries, drop quotes/brackets, squeeze whitespace."""
+    txt = re.sub(r"[\t\n]", " ", txt.lower())
+    txt = re.sub(r"[,.\?!]+ ", " ", txt)
+    txt = re.sub(r"[,.\?!]+$", " ", txt)
+    txt = re.sub(r" [,.\?!]+", " ", txt)
+    txt = re.sub(r'["\(\)\[\]]', "", txt)
+    return re.sub(" +", " ", txt.strip())
+
+
+def remove_comment_txt_preprocess(txt: str) -> str:
+    """Drop [bracketed] annotator comments, then normalize
+    (simple_wer_v2.py:78-84)."""
+    return txt_preprocess(re.sub(r"\[\w+\]", "", txt))
+
+
+def key_phrase_stats(hypotheses: Sequence[str], references: Sequence[str],
+                     key_phrases: Sequence[str]) -> Dict[str, float]:
+    """Jaccard similarity / F1 of key-phrase occurrences between hyps and
+    refs (simple_wer_v2.py GetKeyPhraseStats role, :334-353; counting per
+    AddHypRef :297-307 — per-utterance occurrence counts, matched = min of
+    the two counts)."""
+    matched = ref_k = hyp_k = 0
+    for hyp, ref in zip(hypotheses, references):
+        for phrase in key_phrases:
+            h = hyp.count(phrase)
+            r = ref.count(phrase)
+            matched += min(h, r)
+            ref_k += r
+            hyp_k += h
+    joined = max(ref_k + hyp_k - matched, 1)
+    return {
+        "jaccard": matched / joined,
+        "f1": 2.0 * matched / max(ref_k + hyp_k, 1),
+        "matched": matched,
+        "ref_keyphrases": ref_k,
+        "hyp_keyphrases": hyp_k,
+    }
 
 
 def ctc_greedy_decode(
