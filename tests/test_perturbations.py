@@ -218,3 +218,37 @@ def test_wer_text_preprocess_and_keyphrases():
     assert stats["ref_keyphrases"] == 2 and stats["hyp_keyphrases"] == 1
     assert stats["jaccard"] == pytest.approx(1 / 2)
     assert stats["f1"] == pytest.approx(2 / 3)
+
+    # alignment-correct counting (simple_wer_v2.py AddHypRef:313-318): the
+    # hyp splits the phrase with an insertion, so hyp.count() misses it, but
+    # every phrase word aligns 'ok' -> matched_ref contains the phrase
+    stats = key_phrase_stats(
+        hypotheses=["call john and smith"],
+        references=["call john smith"],
+        key_phrases=["john smith"],
+    )
+    assert stats["matched"] == 1 and stats["hyp_keyphrases"] == 0
+    assert stats["ref_keyphrases"] == 1
+    assert stats["f1"] == pytest.approx(2.0)  # the reference's F1>1 quirk
+
+    # inputs are preprocessed like the reference (init:209-213, :238-240)
+    stats = key_phrase_stats(
+        hypotheses=["Call John Smith!"],
+        references=["call [noise] john smith"],
+        key_phrases=["John Smith"],
+    )
+    assert stats["matched"] == 1 == stats["ref_keyphrases"]
+
+    with pytest.raises(ValueError):
+        key_phrase_stats(["a", "b"], ["a"], ["a"])
+
+
+def test_wer_length_mismatch_raises():
+    from tpu_speech.eval.wer import analyze_errors, render_wer_html, word_error_rate
+
+    with pytest.raises(ValueError):
+        word_error_rate(["a", "b"], ["a"])
+    with pytest.raises(ValueError):
+        analyze_errors(["a"], ["a", "b"])
+    with pytest.raises(ValueError):
+        render_wer_html(["a", "b"], ["a"], "/dev/null")

@@ -171,16 +171,19 @@ def test_finetune_step_and_freeze(rng):
     enc0 = jax.tree.leaves(
         jax.device_get(state.params["encoder"]["feature_encoder"])
     )
-    state, m = step(state, batch, jax.random.PRNGKey(0))
+    state, m = step(state, batch, jax.random.PRNGKey(0), iteration=0)
     assert np.isfinite(float(m["loss"]))
     enc1 = jax.tree.leaves(
         jax.device_get(state.params["encoder"]["feature_encoder"])
     )
     # frozen first step: encoder unchanged... except adamw weight decay; check
     # decoder DID change and loss is finite on unfrozen step too
-    state, m2 = step(state, batch, jax.random.PRNGKey(1))
+    state, m2 = step(state, batch, jax.random.PRNGKey(1), iteration=1)
     assert np.isfinite(float(m2["loss"]))
     assert int(jax.device_get(state.step)) == 2
+    # the freeze gate is host-side: omitting the counter must fail loudly
+    with pytest.raises(ValueError, match="iteration"):
+        step(state, batch, jax.random.PRNGKey(2))
 
 
 def test_load_pretrained_encoder_surgery(rng):

@@ -32,19 +32,39 @@ def remove_comment_txt_preprocess(txt: str) -> str:
 
 
 def key_phrase_stats(hypotheses: Sequence[str], references: Sequence[str],
-                     key_phrases: Sequence[str]) -> Dict[str, float]:
+                     key_phrases: Sequence[str],
+                     preprocess=remove_comment_txt_preprocess
+                     ) -> Dict[str, float]:
     """Jaccard similarity / F1 of key-phrase occurrences between hyps and
-    refs (simple_wer_v2.py GetKeyPhraseStats role, :334-353; counting per
-    AddHypRef :297-307 — per-utterance occurrence counts, matched = min of
-    the two counts)."""
+    refs (simple_wer_v2.py GetKeyPhraseStats, :334-353).
+
+    Matches the reference counting exactly (AddHypRef :313-318): all three
+    inputs are preprocessed (SimpleWER.__init__:209-213, AddHypRef:238-240),
+    ref/hyp counts are substring counts on the normalized text, and
+    ``matched`` counts occurrences in the *aligned matched-word stream*
+    (``matched_ref``, the in-order join of correctly-aligned words) — so a
+    phrase split by an insertion in the hypothesis still counts as matched.
+    This inherits the reference's F1>1 quirk: ``matched`` can exceed the
+    hypothesis substring count (e.g. hyp 'call john and smith' vs ref
+    'call john smith' gives matched=1, hyp=0, f1=2.0).
+    Pass ``preprocess=None`` for pre-normalized inputs."""
+    if len(hypotheses) != len(references):
+        raise ValueError(
+            f"{len(hypotheses)} hypotheses vs {len(references)} references"
+        )
+    if preprocess is not None:
+        hypotheses = [preprocess(h) for h in hypotheses]
+        references = [preprocess(r) for r in references]
+        key_phrases = [preprocess(k) for k in key_phrases]
     matched = ref_k = hyp_k = 0
     for hyp, ref in zip(hypotheses, references):
+        matched_ref = " ".join(
+            hw for op, hw, _ in align_words(hyp, ref) if op == "ok"
+        )
         for phrase in key_phrases:
-            h = hyp.count(phrase)
-            r = ref.count(phrase)
-            matched += min(h, r)
-            ref_k += r
-            hyp_k += h
+            matched += matched_ref.count(phrase)
+            ref_k += ref.count(phrase)
+            hyp_k += hyp.count(phrase)
     joined = max(ref_k + hyp_k - matched, 1)
     return {
         "jaccard": matched / joined,
@@ -89,6 +109,10 @@ def levenshtein(a: Sequence, b: Sequence) -> int:
 def word_error_rate(hypotheses: Sequence[str], references: Sequence[str],
                     use_cer: bool = False) -> float:
     """Aggregate WER (or CER): total edits / total reference tokens."""
+    if len(hypotheses) != len(references):
+        raise ValueError(
+            f"{len(hypotheses)} hypotheses vs {len(references)} references"
+        )
     errors, total = 0, 0
     for hyp, ref in zip(hypotheses, references):
         h = list(hyp) if use_cer else hyp.split()
@@ -102,6 +126,10 @@ def analyze_errors(hypotheses: Sequence[str], references: Sequence[str]
                    ) -> List[Tuple[str, str, int, int]]:
     """Per-utterance (hyp, ref, edits, ref_len) diagnosis rows
     (parts/compute_wer.py:24-73 role)."""
+    if len(hypotheses) != len(references):
+        raise ValueError(
+            f"{len(hypotheses)} hypotheses vs {len(references)} references"
+        )
     rows = []
     for hyp, ref in zip(hypotheses, references):
         h, r = hyp.split(), ref.split()
@@ -151,6 +179,10 @@ def render_wer_html(hypotheses: Sequence[str], references: Sequence[str],
     """
     import html as _html
 
+    if len(hypotheses) != len(references):
+        raise ValueError(
+            f"{len(hypotheses)} hypotheses vs {len(references)} references"
+        )
     n_sub = n_ins = n_del = n_ref = 0
     n_err_utts = 0
     rows = []

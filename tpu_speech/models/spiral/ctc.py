@@ -237,8 +237,21 @@ def make_finetune_step(model: CTCFinetuneModel, cfg: ST2VecConfig, tx,
             {"loss": loss},
         )
 
-    def step_auto(state, batch, rng):
-        freeze = int(jax.device_get(state.step)) < freeze_finetune_updates
+    def step_auto(state, batch, rng, iteration: Optional[int] = None):
+        """``iteration`` is the runner's host-side step counter: the
+        encoder-freeze gate (ctc_finetune.py:403-405) is decided on host,
+        with no device->host sync in the step path. It is required whenever
+        ``freeze_finetune_updates`` > 0 (the runner already tracks it)."""
+        if freeze_finetune_updates <= 0:
+            freeze = False
+        else:
+            if iteration is None:
+                raise ValueError(
+                    "freeze_finetune_updates > 0 requires the host-side "
+                    "iteration counter (pass iteration=...); reading it back "
+                    "from state.step would block on the device every step"
+                )
+            freeze = int(iteration) < freeze_finetune_updates
         return step(state, batch, rng, freeze)
 
     return step_auto

@@ -26,6 +26,92 @@ def gaussian_mask_emb(num_features: int) -> np.ndarray:
     return np.load(_GAUSSIAN_MASK_PATH)[:num_features]
 
 
+def _num_spans(rng: np.random.Generator, sz: int, mask_prob: float,
+               mask_length: int, min_masks: int) -> int:
+    """Expected span count with probabilistic rounding: floor(x + U[0,1))
+    rounds x up with probability frac(x), so the *expected* masked fraction
+    is mask_prob even when mask_prob*sz/mask_length is fractional (the
+    distribution-defining convention of the reference / fairseq,
+    wav2vec_modules.py:282-287)."""
+    return max(min_masks, int(mask_prob * sz / float(mask_length) + rng.random()))
+
+
+def _span_lengths(rng: np.random.Generator, n: int, mask_type: str,
+                  mask_length: int, mask_other: float) -> np.ndarray:
+    """Draw n span lengths for the given distribution family
+    (wav2vec_modules.py:264-270 semantics): static = constant; uniform =
+    U{mask_other..2*mask_length}; normal = round(N(mask_length, mask_other))
+    clamped to >= 1; poisson = Poisson(mask_length)."""
+    if mask_type == "static":
+        return np.full(n, mask_length, dtype=np.int64)
+    if mask_type == "uniform":
+        return rng.integers(
+            int(mask_other), mask_length * 2 + 1, size=n
+        ).astype(np.int64)
+    if mask_type == "normal":
+        draws = rng.normal(mask_length, mask_other, size=n)
+        return np.maximum(1, np.rint(draws).astype(np.int64))
+    if mask_type == "poisson":
+        return rng.poisson(mask_length, size=n).astype(np.int64)
+    raise ValueError(f"unknown mask type {mask_type}")
+
+
+def _concat_ranges(lengths: np.ndarray) -> np.ndarray:
+    """Vectorized concatenation of [0..l) for each l in lengths."""
+    total = int(lengths.sum())
+    seg_starts = np.repeat(np.cumsum(lengths) - lengths, lengths)
+    return np.arange(total, dtype=np.int64) - seg_starts
+
+
+def _overlapping_spans(rng: np.random.Generator, sz: int,
+                       lengths: np.ndarray) -> np.ndarray:
+    """Place spans whose starts are distinct but whose bodies may overlap:
+    starts drawn without replacement from [0, sz - min(lengths)), each
+    expanded by its own length. Realized coverage is therefore <= the
+    nominal sum (overlap shrinks it) — the standard wav2vec convention."""
+    n = len(lengths)
+    min_len = int(lengths.min())
+    if sz - min_len <= n:
+        # not enough distinct starts: shrink the start domain so the draw
+        # below stays feasible (degenerate tiny-utterance case)
+        min_len = sz - n - 1
+    starts = rng.choice(sz - min_len, n, replace=False)
+    return np.repeat(starts, lengths) + _concat_ranges(lengths)
+
+
+def _disjoint_spans(rng: np.random.Generator, sz: int, lengths: np.ndarray,
+                    min_space: int) -> np.ndarray:
+    """Place spans greedily longest-first into a free-interval list so no
+    two spans overlap and >= min_space frames separate them.
+
+    Each span picks a free interval with probability proportional to the
+    interval's width (among intervals that can hold it), then a uniform
+    start inside it. The remainder-interval admission thresholds — left
+    piece kept iff its width (minus spacing) can hold the *shortest*
+    requested span, right piece kept iff strictly wider than twice that —
+    match the reference's rules (wav2vec_modules.py:299-310), because they
+    define the placement distribution."""
+    keep = int(lengths.min())
+    free = [(0, sz)]
+    out: list[int] = []
+    for length in sorted(lengths.tolist(), reverse=True):
+        widths = np.array(
+            [e - s if e - s >= length + min_space else 0 for s, e in free],
+            dtype=np.float64,
+        )
+        total = widths.sum()
+        if total == 0:
+            break  # nowhere left to put this (or any shorter) span
+        s, e = free.pop(int(rng.choice(len(free), p=widths / total)))
+        start = int(rng.integers(s, e - length))
+        out.extend(range(start, start + length))
+        if start - s - min_space >= keep:
+            free.append((s, start - min_space + 1))
+        if e - start - keep - min_space > keep:
+            free.append((start + length + min_space, e))
+    return np.asarray(out, dtype=np.int64)
+
+
 def compute_mask_indices(
     shape: Tuple[int, int],
     padding_lens: Optional[np.ndarray],
@@ -41,95 +127,55 @@ def compute_mask_indices(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Random span masks, (B, T) bool + per-sample mask counts.
 
-    ``padding_lens`` gives valid lengths (the reference takes a padding mask;
-    passing lengths is equivalent and cheaper).
+    Original formulation, distribution-equivalent to the reference's
+    compute_mask_indices (wav2vec_modules.py:207-326 / fairseq); the
+    distribution-defining conventions (probabilistic span-count rounding,
+    distinct-start overlapping placement, free-interval splitting rules)
+    are preserved and property-tested in
+    tests/test_masking_distribution.py.
+
+    ``padding_lens`` gives valid lengths (the reference takes a padding
+    mask; lengths are equivalent and cheaper). Spans never extend past a
+    sample's valid length; with ``shrink_to_batch_min`` every sample's mask
+    is subsampled to the batch-minimum count so downstream fixed-shape
+    gathers stay rectangular.
     """
     if rng is None:
         rng = np.random.default_rng()
     bsz, all_sz = shape
-    mask = np.full((bsz, all_sz), False)
 
-    all_num_mask = int(mask_prob * all_sz / float(mask_length) + rng.random())
-    all_num_mask = max(min_masks, all_num_mask)
-
-    mask_idcs = []
+    shared_num = _num_spans(rng, all_sz, mask_prob, mask_length, min_masks)
+    per_sample: list = []
     for i in range(bsz):
-        if padding_lens is not None:
+        if padding_lens is None:
+            sz, n = all_sz, shared_num
+        else:
             sz = int(padding_lens[i])
-            num_mask = int(mask_prob * sz / float(mask_length) + rng.random())
-            num_mask = max(min_masks, num_mask)
-        else:
-            sz = all_sz
-            num_mask = all_num_mask
+            n = _num_spans(rng, sz, mask_prob, mask_length, min_masks)
 
-        if mask_type == "static":
-            lengths = np.full(num_mask, mask_length)
-        elif mask_type == "uniform":
-            lengths = rng.integers(mask_other, mask_length * 2 + 1, size=num_mask)
-        elif mask_type == "normal":
-            lengths = [
-                max(1, int(round(x)))
-                for x in rng.normal(mask_length, mask_other, size=num_mask)
-            ]
-        elif mask_type == "poisson":
-            lengths = [int(round(x)) for x in rng.poisson(mask_length, size=num_mask)]
-        else:
-            raise ValueError(f"unknown mask type {mask_type}")
-
-        if len(lengths) == 0:
-            mask_idcs.append(np.asarray([], dtype=np.int64))
+        lengths = _span_lengths(rng, n, mask_type, mask_length, mask_other)
+        if n == 0:
+            per_sample.append(np.asarray([], dtype=np.int64))
             continue
-        if sum(lengths) == 0:
+        if lengths.sum() == 0:
+            # all-zero draw (possible for poisson/normal): keep one span so
+            # the sample is never left unmasked
             lengths[0] = min(mask_length, sz - 1)
 
-        if no_overlap:
-            mask_idc = []
+        idx = (
+            _disjoint_spans(rng, sz, lengths, min_space)
+            if no_overlap
+            else _overlapping_spans(rng, sz, lengths)
+        )
+        per_sample.append(np.unique(idx[idx < sz]))
 
-            def arrange(s, e, length, keep_length):
-                span_start = rng.integers(s, e - length)
-                mask_idc.extend(span_start + k for k in range(length))
-                new_parts = []
-                if span_start - s - min_space >= keep_length:
-                    new_parts.append((s, span_start - min_space + 1))
-                if e - span_start - keep_length - min_space > keep_length:
-                    new_parts.append((span_start + length + min_space, e))
-                return new_parts
-
-            parts = [(0, sz)]
-            min_length = min(lengths)
-            for length in sorted(lengths, reverse=True):
-                lens_arr = np.fromiter(
-                    (e - s if e - s >= length + min_space else 0 for s, e in parts),
-                    np.int64,
-                )
-                l_sum = np.sum(lens_arr)
-                if l_sum == 0:
-                    break
-                probs = lens_arr / l_sum
-                c = rng.choice(len(parts), p=probs)
-                s, e = parts.pop(c)
-                parts.extend(arrange(s, e, length, min_length))
-            mask_idc = np.asarray(mask_idc)
-        else:
-            min_len = min(lengths)
-            if sz - min_len <= num_mask:
-                min_len = sz - num_mask - 1
-            mask_idc = rng.choice(sz - min_len, num_mask, replace=False)
-            mask_idc = np.asarray(
-                [
-                    mask_idc[j] + offset
-                    for j in range(len(mask_idc))
-                    for offset in range(lengths[j])
-                ]
-            )
-        mask_idcs.append(np.unique(mask_idc[mask_idc < sz]))
-
-    mask_num = np.asarray([len(m) for m in mask_idcs])
-    min_len = mask_num.min() if len(mask_idcs) else 0
-    for i, mask_idc in enumerate(mask_idcs):
-        if shrink_to_batch_min and len(mask_idc) > min_len:
-            mask_idc = rng.choice(mask_idc, min_len, replace=False)
-        mask[i, mask_idc] = True
+    mask_num = np.asarray([len(s) for s in per_sample])
+    floor = mask_num.min() if len(per_sample) else 0
+    mask = np.zeros((bsz, all_sz), dtype=bool)
+    for i, idx in enumerate(per_sample):
+        if shrink_to_batch_min and len(idx) > floor:
+            idx = rng.choice(idx, floor, replace=False)
+        mask[i, idx] = True
     return mask, mask_num
 
 

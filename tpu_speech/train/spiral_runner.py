@@ -716,7 +716,8 @@ class SpiralFinetuneRunner:
             else:
                 batch = shard_batch(self.mesh, batch)
             self.state, metrics = self.step_fn(
-                self.state, batch, step_rng(self.iteration, self.rng_impl)
+                self.state, batch, step_rng(self.iteration, self.rng_impl),
+                iteration=self.iteration,
             )
             losses.append(float(jax.device_get(metrics)["loss"]))
             self.iteration += 1
