@@ -37,6 +37,13 @@ def load_gradtts_params(path, n_spks):
 
         sd = torch.load(path, map_location="cpu")
         return convert_gradtts(sd, n_spks=n_spks)
+    if path.endswith(".tpu_speech"):
+        # self-contained archive written by GradTTSTrainer.save_archive
+        # (the reference .nemo restore_from analog)
+        from tpu_speech.utils.archive import load_archive
+
+        _, p, _ = load_archive(path)
+        return {"params": p}
     from tpu_speech.utils.checkpoint import Checkpointer
 
     ckptr = Checkpointer(path)

@@ -50,6 +50,11 @@ def main(argv=None):
                         choices=["train", "test"])
     parser.add_argument("--init_chkpt_dir", type=str, default="")
     parser.add_argument("--init_chkpt_file", type=str, default="")
+    parser.add_argument("--init_archive", type=str, default="",
+                        help="restore weights from a self-contained "
+                        ".tpu_speech archive written at train end (the "
+                        "reference's .nemo restore_from workflow); applies "
+                        "to pretrain, finetune-train and test modes")
     parser.add_argument("--test_manifest", type=str, default="")
     parser.add_argument("--model_type", type=str, default="spiral",
                         choices=["spiral", "st2vec", "ctc_finetune"])
@@ -186,6 +191,9 @@ def main(argv=None):
         from tpu_speech.train.spiral_runner import SpiralPretrainRunner
 
         runner = SpiralPretrainRunner(cfg, log_dir, exp=exp)
+        if args.init_archive:
+            runner.restore_from_archive(args.init_archive)
+            print(f"Restored weights from archive: {args.init_archive}")
         if args.resume_if_exists and runner.resume_if_exists():
             print(f"Resumed from iteration {runner.iteration}")
         val_every = max(1, getattr(cfg.trainer, "val_check_interval_epochs", 1))
@@ -227,6 +235,9 @@ def main(argv=None):
     cfg.model.use_teacher_encoder = args.use_teacher_encoder
 
     runner = SpiralFinetuneRunner(cfg, log_dir, tokenizer, exp=exp)
+    if args.init_archive:
+        runner.restore_from_archive(args.init_archive)
+        print(f"Restored weights from archive: {args.init_archive}")
     if args.resume_if_exists and runner.resume_if_exists():
         print(f"Resumed from iteration {runner.iteration}")
 

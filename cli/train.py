@@ -123,6 +123,16 @@ def main(multispeaker: bool = False):
             f"prior {stats['prior_loss']:.3f} | diff {stats['diff_loss']:.3f}"
         )
     trainer.ckpt.wait()  # drain the async checkpoint write
+    archive = trainer.save_archive(
+        config={
+            k: v for k, v in vars(params).items()
+            if not k.startswith("_")
+            and isinstance(v, (int, float, str, bool, list, tuple))
+        },
+        name="gradtts_multi" if multispeaker else "gradtts",
+    )
+    if archive:
+        print(f"saved model archive: {archive}")
 
 
 if __name__ == "__main__":

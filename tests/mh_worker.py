@@ -9,8 +9,14 @@ match — the TPU answer to validating the reference's multi-node DDP
 
 Usage: python mh_worker.py single
        python mh_worker.py multi <pid> <nprocs> <port>
+       python mh_worker.py eval_single <corpus_dir>
+       python mh_worker.py eval_multi <pid> <nprocs> <port> <corpus_dir>
 (caller must set JAX_PLATFORMS=cpu and
  XLA_FLAGS=--xla_force_host_platform_device_count=<n> in the child env)
+
+The eval modes drive SpiralFinetuneRunner.evaluate() on a fixed corpus:
+multi shards the utterances across processes and all-reduces the error
+counts, so the printed WER/CER/n must equal the single-process run exactly.
 """
 
 import os
@@ -23,8 +29,47 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 
+def eval_main(corpus_dir: str):
+    import copy
+    from importlib import import_module
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "cli"),
+    )
+    from tpu_speech.text.tokenizers import CharTokenizer
+    from tpu_speech.train.spiral_runner import SpiralFinetuneRunner
+
+    cfg = copy.deepcopy(import_module("conf.spiral.spiral_tiny_test").cfg)
+    mpath = os.path.join(corpus_dir, "manifest.json")
+    for ds in (cfg.model.train_ds, cfg.model.validation_ds, cfg.model.test_ds):
+        if ds is not None:
+            ds.manifest_filepath = mpath
+    runner = SpiralFinetuneRunner(
+        cfg, os.path.join(corpus_dir, f"logs_p{jax.process_index()}"),
+        CharTokenizer(cfg.model.labels),
+    )
+    res = runner.evaluate()
+    print(
+        f"MHWER {res['wer']:.10f} {res['cer']:.10f} {res['n']} "
+        f"{res['ser']:.10f}",
+        flush=True,
+    )
+
+
 def main():
     mode = sys.argv[1]
+    if mode.startswith("eval"):
+        if mode == "eval_multi":
+            pid, nprocs, port = int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+            jax.distributed.initialize(
+                coordinator_address=f"localhost:{port}",
+                num_processes=nprocs, process_id=pid,
+            )
+            eval_main(sys.argv[5])
+        else:
+            eval_main(sys.argv[2])
+        return
     if mode == "multi":
         pid, nprocs, port = int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
         jax.distributed.initialize(

@@ -224,6 +224,80 @@ def test_two_process_matches_single_process():
     )
 
 
+@pytest.mark.slow
+def test_two_process_eval_matches_single(tmp_path):
+    """Finetune evaluate() shards utterances across processes and
+    all-reduces the error counts: two federated processes report the exact
+    same WER/CER/n as one process decoding everything (and each decodes
+    only half the set)."""
+    import json
+
+    from tpu_speech.data.wav import write_wav
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    rng = np.random.default_rng(0)
+    words = ["hello", "world", "speech", "test", "audio"]
+    sr = 16000
+    entries = []
+    for i in range(11):  # odd count: shards differ in length
+        wav = (rng.standard_normal(int(sr * 0.6)) * 0.1).astype(np.float32)
+        p = os.path.join(corpus, f"utt{i}.wav")
+        write_wav(p, wav, sr)
+        entries.append({
+            "audio_filepath": p, "duration": 0.6,
+            "text": " ".join(rng.choice(words, size=3)),
+        })
+    with open(os.path.join(corpus, "manifest.json"), "w") as f:
+        for e in entries:
+            f.write(json.dumps(e) + "\n")
+
+    def env(n):
+        e = dict(os.environ)
+        e["JAX_PLATFORMS"] = "cpu"
+        e["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n}"
+        return e
+
+    worker = os.path.join(REPO, "tests", "mh_worker.py")
+    single = subprocess.run(
+        [sys.executable, worker, "eval_single", corpus], env=env(8),
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert single.returncode == 0, single.stderr[-2000:]
+
+    port = "12367"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, "eval_multi", str(pid), "2", port,
+             corpus],
+            env=env(4), stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, cwd=REPO,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err[-2000:]
+        outs.append(out)
+
+    def parse(out):
+        for line in out.splitlines():
+            if line.startswith("MHWER"):
+                parts = line.split()
+                return float(parts[1]), float(parts[2]), int(parts[3]), \
+                    float(parts[4])
+        raise AssertionError(f"no MHWER in output: {out[-500:]}")
+
+    w_s, c_s, n_s, ser_s = parse(single.stdout)
+    for out in outs:
+        w_m, c_m, n_m, ser_m = parse(out)
+        assert n_m == n_s == 11
+        assert w_m == pytest.approx(w_s, abs=1e-9)
+        assert c_m == pytest.approx(c_s, abs=1e-9)
+        assert ser_m == pytest.approx(ser_s, abs=1e-9)
+
+
 def test_tensor_parallel_placement_matches_dp():
     """shard_params_tp on the 2-D (data, model) mesh is a pure placement
     change: one train step must produce the same loss as the replicated-param

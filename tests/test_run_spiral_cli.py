@@ -83,6 +83,73 @@ def test_run_spiral_pretrain_and_test_mode(tmp_path):
 
 
 @pytest.mark.slow
+def test_archive_restore_round_trip(tmp_path, capsys):
+    """Train -> .tpu_speech archive -> restore via --init_archive in a FRESH
+    run dir -> test-mode WER identical to the live training state (the
+    reference's .nemo save/restore_from workflow, modelPT.py:~900-1268)."""
+    import re
+
+    import run_spiral
+
+    data = str(tmp_path / "data")
+    _make_corpus(data, n=16)
+    logs_tr = str(tmp_path / "logs_train")
+    run_spiral.main([
+        "--config_name=spiral_tiny_test",
+        "--manifest_dir", data,
+        "--model_save_dir", logs_tr,
+        "--model_type=ctc_finetune",
+        "--max_epochs=1",
+        "--resume_if_exists=false",
+    ])
+    arch = os.path.join(logs_tr, "ctc_tiny.tpu_speech")
+    if not os.path.exists(arch):
+        cand = [f for f in os.listdir(logs_tr) if f.endswith(".tpu_speech")]
+        assert cand, os.listdir(logs_tr)
+        arch = os.path.join(logs_tr, cand[0])
+
+    def test_wer(argv):
+        capsys.readouterr()
+        run_spiral.main(argv)
+        out = capsys.readouterr().out
+        m = re.search(r"TEST: WER = ([\d.]+)", out)
+        assert m, out
+        return float(m.group(1)), out
+
+    # live state: test mode resuming the training run's checkpoint
+    wer_live, _ = test_wer([
+        "--config_name=spiral_tiny_test",
+        "--manifest_dir", data,
+        "--model_save_dir", logs_tr,
+        "--model_type=ctc_finetune",
+        "--run_mode=test",
+        "--resume_if_exists=true",
+    ])
+    # shipped file: fresh run dir, no checkpoint, weights from the archive
+    wer_arch, out = test_wer([
+        "--config_name=spiral_tiny_test",
+        "--manifest_dir", data,
+        "--model_save_dir", str(tmp_path / "logs_fresh"),
+        "--model_type=ctc_finetune",
+        "--run_mode=test",
+        "--resume_if_exists=false",
+        "--init_archive", arch,
+    ])
+    assert "Restored weights from archive" in out
+    assert wer_arch == pytest.approx(wer_live)
+    # random-init control: without the archive the WER differs (weights matter)
+    wer_rand, _ = test_wer([
+        "--config_name=spiral_tiny_test",
+        "--manifest_dir", data,
+        "--model_save_dir", str(tmp_path / "logs_rand"),
+        "--model_type=ctc_finetune",
+        "--run_mode=test",
+        "--resume_if_exists=false",
+    ])
+    assert wer_rand != pytest.approx(wer_live) or wer_live == 1.0
+
+
+@pytest.mark.slow
 def test_finetune_validate_and_transcribe(tmp_path):
     """Runner-level validate() (val WER logging) and transcribe() utility
     (ctc_finetune.py:135-170 / :440-460 roles)."""

@@ -53,6 +53,40 @@ def test_typecheck():
         g(jnp.zeros((1, 4, 81)))
 
 
+def test_typecheck_on_model_facades():
+    """Port contracts are live on the model layer (the reference's
+    NeuralType checks on every module, common.py / losses/ctc.py:33-49)."""
+    import jax
+
+    from tests.test_spiral_pretrain import TINY_CFG as cfg
+    from tpu_speech.models.spiral.st2vec import ST2VecEncoder
+
+    model = ST2VecEncoder(cfg)
+    specs = jnp.zeros((2, 32, cfg.num_features))
+    lens = jnp.full((2,), 32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, specs, lens,
+                           train=False)
+    # rank violation on the facade port fails loudly
+    with pytest.raises(TypecheckError):
+        model.apply(variables, jnp.zeros((2, 32)), lens, train=False)
+    # batch-axis inconsistency across ports fails too
+    with pytest.raises(TypecheckError):
+        model.apply(variables, specs, jnp.full((3,), 32), train=False)
+
+    from tpu_speech.models.grad_tts import GradTTS
+
+    tts = GradTTS(n_vocab=10, n_enc_channels=16, filter_channels=16,
+                  filter_channels_dp=16, n_heads=2, n_enc_layers=1,
+                  n_feats=8, dec_dim=8)
+    with pytest.raises(TypecheckError):
+        tts.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            jnp.zeros((2, 6), jnp.int32), jnp.full((2,), 6),
+            jnp.zeros((2, 12, 8)), jnp.full((3,), 12),  # y_lengths B mismatch
+            jax.random.PRNGKey(2),
+        )
+
+
 def test_schedule_zoo_shapes():
     for name, factory in SCHEDULES.items():
         if name == "NoamAnnealing":

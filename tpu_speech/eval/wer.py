@@ -106,9 +106,11 @@ def levenshtein(a: Sequence, b: Sequence) -> int:
     return prev[-1]
 
 
-def word_error_rate(hypotheses: Sequence[str], references: Sequence[str],
-                    use_cer: bool = False) -> float:
-    """Aggregate WER (or CER): total edits / total reference tokens."""
+def error_counts(hypotheses: Sequence[str], references: Sequence[str],
+                 use_cer: bool = False) -> Tuple[int, int]:
+    """(total edit distance, total reference tokens) — the additive raw
+    counts behind WER/CER, so shards can be summed across processes before
+    the final division."""
     if len(hypotheses) != len(references):
         raise ValueError(
             f"{len(hypotheses)} hypotheses vs {len(references)} references"
@@ -119,6 +121,13 @@ def word_error_rate(hypotheses: Sequence[str], references: Sequence[str],
         r = list(ref) if use_cer else ref.split()
         errors += levenshtein(h, r)
         total += len(r)
+    return errors, total
+
+
+def word_error_rate(hypotheses: Sequence[str], references: Sequence[str],
+                    use_cer: bool = False) -> float:
+    """Aggregate WER (or CER): total edits / total reference tokens."""
+    errors, total = error_counts(hypotheses, references, use_cer)
     return errors / max(total, 1)
 
 

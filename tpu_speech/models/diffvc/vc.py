@@ -21,6 +21,7 @@ from tpu_speech.models.diffvc.diffusion import (
 from tpu_speech.models.diffvc.encoder import FwdDiffusion
 from tpu_speech.models.diffvc.unet import GradLogPEstimatorVC
 from tpu_speech.ops.masks import sequence_mask
+from tpu_speech.utils.typing_contracts import typecheck
 
 
 class DiffVC(nn.Module):
@@ -55,6 +56,7 @@ class DiffVC(nn.Module):
     def score(self, xt, x_mask, mean, xt_ref, ref_mask, c, t):
         return self.estimator(xt, x_mask, mean, xt_ref, ref_mask, c, t)
 
+    @typecheck(x="B T F", x_lengths="B", x_ref="B T F", c="B C")
     def __call__(self, x, x_lengths, x_ref, c, rng, train: bool = True):
         """Decoder (score-matching) loss; encoder frozen (vc.py:129-144).
         x, x_ref: (B, T, F) source/reference crops of the same utterance."""

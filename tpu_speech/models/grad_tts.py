@@ -30,6 +30,7 @@ from tpu_speech.models.text_encoder import TextEncoder
 from tpu_speech.nn.unet import GradLogPEstimator2d
 from tpu_speech.ops.masks import duration_loss, generate_path, sequence_mask
 from tpu_speech.ops.monotonic_align import maximum_path
+from tpu_speech.utils.typing_contracts import typecheck
 
 
 class GradTTS(nn.Module):
@@ -82,6 +83,7 @@ class GradTTS(nn.Module):
             return self.spk_emb(spk)
         return None
 
+    @typecheck(x="B Tx", x_lengths="B")
     def encode(self, x, x_lengths, spk=None, train: bool = False):
         """Text ids -> (mu_x (B,Tx,F), logw (B,Tx), x_mask (B,Tx))."""
         return self.encoder(x, x_lengths, self._spk_vec(spk), train=train)
@@ -90,6 +92,7 @@ class GradTTS(nn.Module):
         """Noise estimator eval (one reverse-SDE step's network call)."""
         return self.estimator(xt, mask, mu, t, self._spk_vec(spk))
 
+    @typecheck(x="B Tx", x_lengths="B", y="B Ty F", y_lengths="B", spk="B")
     def __call__(self, x, x_lengths, y, y_lengths, rng, spk=None,
                  out_size: Optional[int] = None, train: bool = True):
         """Training loss. Returns (dur_loss, prior_loss, diff_loss).

@@ -57,6 +57,7 @@ class ConvASRDecoder(nn.Module):
         return self.num_classes
 
     @nn.compact
+    @typecheck(x="B T C", lens="B")
     def __call__(self, x, lens, train: bool = False):
         if self.upsample_rate is not None:
             x, lens = ProjUpsampling(
@@ -111,6 +112,7 @@ class CTCFinetuneModel(nn.Module):
             upsample_dropout=self.upsample_dropout,
         )
 
+    @typecheck(specs="B T F", spec_lens="B")
     def __call__(self, specs, spec_lens, train: bool = False,
                  freeze_encoder: bool = False):
         feats, feat_lens = self.encoder.encode_features(

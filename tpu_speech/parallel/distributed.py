@@ -76,6 +76,21 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
+def allreduce_sum(x) -> "np.ndarray":
+    """Element-wise sum of a small host array across processes (identity in
+    a single-process run). Used for exact global metric reduction (error
+    counts) after per-process eval shards — the reference's
+    dist_sync_on_step WER reduction analog (ctc_finetune.py:119)."""
+    import numpy as np
+
+    x = np.asarray(x)
+    if jax.process_count() == 1:
+        return x
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x)).sum(axis=0)
+
+
 def require_multiprocess(num_nodes: int) -> None:
     """Fail loudly if a multi-node launch wasn't actually federated
     (replaces the reference's silent PL fallback; a --num_nodes flag that

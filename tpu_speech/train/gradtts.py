@@ -150,6 +150,20 @@ class GradTTSTrainer:
         self.iteration = int(restored.step)
         return True
 
+    def save_archive(self, config=None, name: str = "gradtts"):
+        """Write the self-contained `.tpu_speech` archive at train end (the
+        reference ships raw .pt state_dicts, Grad-TTS/train.py:174-175; the
+        archive is the ModelPT `.nemo` analog consumable by
+        cli/inference.py -c)."""
+        if not self.primary:
+            return None
+        from tpu_speech.utils.archive import save_archive
+
+        path = os.path.join(self.log_dir, f"{name}.tpu_speech")
+        state = jax.device_get(self.state)
+        save_archive(path, config or {}, state.params["params"])
+        return path
+
     def log_ground_truth(self, batch, n: int = 3):
         """Log target mels once at startup (Grad-TTS/train.py:89-95)."""
         if self.tb is None:

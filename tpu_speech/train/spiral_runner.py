@@ -248,8 +248,31 @@ class SpiralPretrainRunner:
         state = jax.device_get(self.state)
         return _save_run_archive(
             self.log_dir, self.cfg.name or "st2vec", self.cfg,
-            state.params, extra={"teacher": state.teacher},
+            state.params,
+            extra={"teacher": state.teacher,
+                   "batch_stats": state.batch_stats},
         )
+
+    def restore_from_archive(self, path: str) -> None:
+        """Load a ``.tpu_speech`` archive's weights into the live state (the
+        reference's ModelPT.restore_from workflow, modelPT.py:~900-1268):
+        params + EMA teacher + batch_stats; step/optimizer state start
+        fresh. Shape mismatches fail loudly via the typed deserialization."""
+        from tpu_speech.utils.archive import load_archive
+
+        host = jax.device_get(self.state)
+        _, params, extra = load_archive(path, params_target=host.params)
+        state = host.replace(
+            params=params,
+            teacher=extra.get("teacher", host.teacher),
+            batch_stats=extra.get("batch_stats", host.batch_stats),
+        )
+        if self._state_shardings is not None:
+            self.state = jax.tree.map(
+                jax.device_put, state, self._state_shardings
+            )
+        else:
+            self.state = replicate(self.mesh, state)
 
     def validate(self) -> float:
         """Validation contrastive loss over validation_ds (the reference's
@@ -674,8 +697,27 @@ class SpiralFinetuneRunner:
         state = jax.device_get(self.state)
         return _save_run_archive(
             self.log_dir, self.cfg.name or "ctc_finetune", self.cfg,
-            state.params,
+            state.params, extra={"batch_stats": state.batch_stats},
         )
+
+    def restore_from_archive(self, path: str) -> None:
+        """Load a ``.tpu_speech`` archive's weights (params + batch_stats)
+        into the live state — serve/test from one shipped file (the
+        reference's restore_from, modelPT.py:~900-1268)."""
+        from tpu_speech.utils.archive import load_archive
+
+        host = jax.device_get(self.state)
+        _, params, extra = load_archive(path, params_target=host.params)
+        state = host.replace(
+            params=params,
+            batch_stats=extra.get("batch_stats", host.batch_stats),
+        )
+        if self._state_shardings is not None:
+            self.state = jax.tree.map(
+                jax.device_put, state, self._state_shardings
+            )
+        else:
+            self.state = replicate(self.mesh, state)
 
     def _train_masks(self, wav_width, wav_lens):
         """Spec-masking as a SpecAugment-style regularizer during finetune
@@ -888,7 +930,14 @@ class SpiralFinetuneRunner:
         beam_width>1 switches the greedy argmax decode to CTC prefix beam
         search (eval/ctc_beam.py), optionally shallow-fused with ``lm``
         (e.g. NGramLM fit on training transcripts) at weight ``lm_alpha`` —
-        beyond-reference: the reference decodes greedy-only."""
+        beyond-reference: the reference decodes greedy-only.
+
+        Multi-host: the utterances are split round-robin across processes
+        (each decodes only its shard, no utterance dropped or duplicated)
+        and the raw error counts are all-reduced, so the returned WER/CER
+        are exact and identical on every process (the reference's
+        dist_sync WER, ctc_finetune.py:119). The HTML diagnosis covers the
+        primary's shard in multi-host runs (all utterances single-host)."""
         m = self.cfg.model
         ds_cfg = ds_cfg or m.test_ds or m.validation_ds
         manifest = manifest or ds_cfg.manifest_filepath
@@ -896,6 +945,12 @@ class SpiralFinetuneRunner:
             manifest, self.tokenizer, sample_rate=ds_cfg.sample_rate,
             crop_size=self.max_samples,
         )
+        n_proc = distributed.process_count()
+        rank = distributed.process_index()
+        if n_proc > 1:
+            # exact round-robin shard: unlike the training loader there is
+            # no per-batch collective, so shards may differ in length
+            dataset.entries = dataset.entries[rank::n_proc]
         collate = AudioTextBatchCollate(self.max_samples, 512)
         loader = DataLoader(
             dataset, ds_cfg.batch_size, collate, shuffle=False,
@@ -903,11 +958,19 @@ class SpiralFinetuneRunner:
         )
 
         infer = self._infer_fn()
+        if n_proc > 1:
+            # decode on local devices only: pull one host copy of the
+            # globally-replicated state so the per-batch jit stays local
+            params, batch_stats = jax.device_get(
+                (self.state.params, self.state.batch_stats)
+            )
+        else:
+            params, batch_stats = self.state.params, self.state.batch_stats
 
         hyps, refs = [], []
         for raw in loader:
             log_probs, lens = infer(
-                self.state.params, self.state.batch_stats,
+                params, batch_stats,
                 jnp.asarray(raw["wavs"]), jnp.asarray(raw["wav_lens"]),
             )
             if beam_width > 1:
@@ -932,14 +995,25 @@ class SpiralFinetuneRunner:
                     os.path.join(save_logits_dir, f"logits_{len(hyps)}.npy"),
                     np.asarray(log_probs),
                 )
-        wer = word_error_rate(hyps, refs)
-        cer = word_error_rate(hyps, refs, use_cer=True)
-        results = {"wer": wer, "cer": cer, "n": len(hyps)}
+        from tpu_speech.eval.wer import error_counts
+
+        w_err, w_tot = error_counts(hyps, refs)
+        c_err, c_tot = error_counts(hyps, refs, use_cer=True)
+        err_utts = sum(1 for h, r in zip(hyps, refs) if h.split() != r.split())
+        counts = distributed.allreduce_sum(
+            np.array([w_err, w_tot, c_err, c_tot, len(hyps), err_utts],
+                     dtype=np.int64)
+        )
+        results = {
+            "wer": counts[0] / max(counts[1], 1),
+            "cer": counts[2] / max(counts[3], 1),
+            "n": int(counts[4]),
+            "ser": counts[5] / max(counts[4], 1),
+        }
         if self.primary:
             # per-utterance alignment diagnosis (compute_wer.py:24-73 /
             # simple_wer_v2.write_html artifact)
             html_path = os.path.join(self.log_dir, "wer_diagnosis.html")
-            stats = render_wer_html(hyps, refs, html_path)
+            render_wer_html(hyps, refs, html_path)
             results["diagnosis_html"] = html_path
-            results["ser"] = stats["ser"]
         return results
