@@ -1,0 +1,171 @@
+"""SPIRAL trains-to-quality integration test through the REAL CLIs.
+
+The reference's de-facto integration test is training to a quality metric —
+pretrain validation loss and finetune/test WER
+(SPIRAL/examples/asr/spiral_pretrain.py:124-190,
+spec2vec/ctc_finetune.py:440-460). This test reproduces that end to end on
+the deterministic tone-word corpus (tests/toy_corpus.py), driving
+cli/run_spiral.py exactly as a user would:
+
+  1. st2vec pretrain: contrastive loss DECREASES over epochs and the
+     collapse diagnostics stay healthy (check_collapse analog,
+     st2vec.py::check_collapse);
+  2. ctc_finetune from the pretrain checkpoint -> --run_mode=test: WER is
+     low in absolute terms;
+  3. the finetuned WER SUBSTANTIALLY beats (a) finetuning from a
+     random-init encoder with the identical budget and (b) the
+     pre-finetune model (pretrained encoder, random decoder);
+  4. the artifacts exist: train.log loss curves, wer_diagnosis.html.
+
+Budgets (~25 epochs x 15 steps per arm) were calibrated on this corpus:
+pretrained-init reaches ~0.05 WER where same-budget scratch sits ~0.5.
+"""
+
+import io
+import contextlib
+import os
+import re
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+sys.path.insert(0, os.path.join(REPO, "cli"))
+
+from tests.toy_corpus import make_toy_corpus
+
+
+def _run(argv):
+    import run_spiral
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        run_spiral.main(argv)
+    return buf.getvalue()
+
+
+def _test_wer(out):
+    m = re.search(r"TEST: WER = ([\d.]+)", out)
+    assert m, out
+    return float(m.group(1))
+
+
+@pytest.mark.slow
+def test_spiral_trains_to_quality(tmp_path):
+    train_manifest = make_toy_corpus(
+        str(tmp_path / "train"), 120, seed=0, name="train.json"
+    )
+    test_manifest = make_toy_corpus(
+        str(tmp_path / "test"), 32, seed=1, name="test.json"
+    )
+    sets = [
+        "--set", f"model.train_ds.manifest_filepath={train_manifest}",
+        "--set", f"model.validation_ds.manifest_filepath={test_manifest}",
+        "--set", f"model.test_ds.manifest_filepath={test_manifest}",
+    ]
+
+    # ---- 1. pretrain through the CLI ------------------------------------
+    logs_pre = str(tmp_path / "logs_pre")
+    _run([
+        "--config_name=spiral_toy_quality",
+        "--model_save_dir", logs_pre,
+        "--model_type=st2vec",
+        "--max_epochs=25",
+        "--resume_if_exists=false",
+    ] + sets)
+    log_text = open(os.path.join(logs_pre, "train.log")).read()
+    losses = [float(x) for x in re.findall(r"Epoch \d+: loss = ([\d.]+)",
+                                           log_text)]
+    assert len(losses) == 25, log_text
+    # contrastive loss decreases and stays down (compare epoch means, not
+    # single steps): last-5 mean well below first-epoch loss
+    assert np.mean(losses[-5:]) < losses[0] - 0.15, losses
+    # collapse diagnostics healthy: off-diagonal self-similarity of the
+    # student predictions must not approach 1 (a collapsed representation
+    # maps every frame to the same vector; st2vec_model.py:287-312)
+    sims = [float(x) for x in re.findall(r"self_sim = ([-\d.]+)", log_text)]
+    assert sims, log_text
+    assert max(sims) < 0.98, sims
+
+    ck = os.path.join(logs_pre, "ckpt")
+    step_dir = sorted(os.listdir(ck))[-1]
+
+    # ---- 2. finetune from the pretrained encoder + test mode ------------
+    logs_ft = str(tmp_path / "logs_ft")
+    _run([
+        "--config_name=spiral_toy_quality",
+        "--model_save_dir", logs_ft,
+        "--model_type=ctc_finetune",
+        "--max_epochs=25",
+        "--resume_if_exists=false",
+        "--init_chkpt_dir", ck,
+        "--init_chkpt_file", step_dir,
+    ] + sets)
+    out = _run([
+        "--config_name=spiral_toy_quality",
+        "--model_save_dir", logs_ft,
+        "--model_type=ctc_finetune",
+        "--run_mode=test",
+        "--resume_if_exists=true",
+    ] + sets)
+    wer_pretrained = _test_wer(out)
+    assert wer_pretrained < 0.25, out  # calibrated ~0.05
+
+    # artifacts: per-utterance diagnosis + loss curves
+    assert os.path.exists(os.path.join(logs_ft, "wer_diagnosis.html"))
+    ft_log = open(os.path.join(logs_ft, "train.log")).read()
+    ctc_losses = [float(x) for x in re.findall(r"ctc loss = ([\d.]+)",
+                                               ft_log)]
+    assert len(ctc_losses) == 25
+    assert ctc_losses[-1] < 0.5 * ctc_losses[0], ctc_losses
+
+    # ---- 3a. control: identical budget from a random-init encoder -------
+    logs_scratch = str(tmp_path / "logs_scratch")
+    _run([
+        "--config_name=spiral_toy_quality",
+        "--model_save_dir", logs_scratch,
+        "--model_type=ctc_finetune",
+        "--max_epochs=25",
+        "--resume_if_exists=false",
+        "--finetune_from_scratch=true",
+    ] + sets)
+    out = _run([
+        "--config_name=spiral_toy_quality",
+        "--model_save_dir", logs_scratch,
+        "--model_type=ctc_finetune",
+        "--run_mode=test",
+        "--resume_if_exists=true",
+    ] + sets)
+    wer_scratch = _test_wer(out)
+    # pretraining must transfer: substantially better than scratch
+    # (calibrated: ~0.05 vs ~0.5)
+    assert wer_pretrained < wer_scratch - 0.15, (wer_pretrained, wer_scratch)
+
+    # ---- 3b. control: pre-finetune model (pretrained enc, random head) --
+    # --max_epochs=0 runs no finetune steps but writes the archive, so test
+    # mode can consume it via --init_archive (restore workflow)
+    logs_nof = str(tmp_path / "logs_nofinetune")
+    _run([
+        "--config_name=spiral_toy_quality",
+        "--model_save_dir", logs_nof,
+        "--model_type=ctc_finetune",
+        "--max_epochs=0",
+        "--resume_if_exists=false",
+        "--init_chkpt_dir", ck,
+        "--init_chkpt_file", step_dir,
+    ] + sets)
+    arch = [f for f in os.listdir(logs_nof) if f.endswith(".tpu_speech")]
+    assert arch, os.listdir(logs_nof)
+    out = _run([
+        "--config_name=spiral_toy_quality",
+        "--model_save_dir", str(tmp_path / "logs_nof_test"),
+        "--model_type=ctc_finetune",
+        "--run_mode=test",
+        "--resume_if_exists=false",
+        "--init_archive", os.path.join(logs_nof, arch[0]),
+    ] + sets)
+    wer_prefinetune = _test_wer(out)
+    assert wer_pretrained < wer_prefinetune - 0.5, (
+        wer_pretrained, wer_prefinetune,
+    )

@@ -288,8 +288,14 @@ class SpiralPretrainRunner:
                 m.train_ds.crop_size, ds_cfg.min_duration, ds_cfg.max_duration,
                 return_both=True, dup_factor=getattr(ds_cfg, "dup_factor", 1),
             )
+            # per-process batch follows the mesh's data extent (a
+            # trainer.devices clamp must bound validation too)
+            val_batch = min(
+                ds_cfg.batch_size * jax.local_device_count(),
+                ds_cfg.batch_size * self.mesh.shape["data"],
+            )
             self._val_loader = DataLoader(
-                dataset, ds_cfg.batch_size * jax.local_device_count(),
+                dataset, val_batch,
                 self.collate, shuffle=False, num_workers=ds_cfg.num_workers,
                 shard_id=distributed.process_index(),
                 num_shards=distributed.process_count(),
@@ -386,8 +392,15 @@ class SpiralPretrainRunner:
                         self.iteration,
                     )
         if self.primary:
+            msg = f"Validation: loss = {val:.4f}"
+            if diags:
+                # collapse diagnostics in the log, not just TB, so quality
+                # runs leave an assertable artifact (reference prints its
+                # check_collapse matrices, st2vec_model.py:287-312)
+                for k in diags[0]:
+                    msg += f" | {k} = {float(np.mean([d[k] for d in diags])):.4f}"
             with open(os.path.join(self.log_dir, "train.log"), "a") as f:
-                f.write(f"Validation: loss = {val:.4f}\n")
+                f.write(msg + "\n")
         return val
 
     _val_fn = None
@@ -522,6 +535,10 @@ class SpiralFinetuneRunner:
             )
         self.collate = AudioTextBatchCollate(max_samples, 512)
         local_batch = m.train_ds.batch_size * jax.local_device_count()
+        # a trainer.devices clamp bounds the per-process batch too
+        local_batch = min(
+            local_batch, m.train_ds.batch_size * self.mesh.shape["data"]
+        )
         num_buckets = max(1, getattr(m.train_ds, "num_buckets", 1))
         accum = max(1, getattr(cfg.trainer, "accumulate_grad_batches", 1))
         if self._tarred:
