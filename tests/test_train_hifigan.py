@@ -38,8 +38,14 @@ def tiny_models():
         upsample_initial_channel=16, resblock_kernel_sizes=(3,),
         resblock_dilation_sizes=((1, 3),),
     )
-    mpd = MultiPeriodDiscriminator(periods=(2, 3))
-    msd = MultiScaleDiscriminator()
+    # reduced discriminator widths: the reference-width MSD/MPD dominate
+    # quick-tier wall time on CPU (1024-ch convs), and the step mechanics
+    # under test are width-independent
+    mpd = MultiPeriodDiscriminator(periods=(2, 3), channels=(8, 16, 32, 32))
+    msd = MultiScaleDiscriminator(
+        num_scales=2,
+        disc_specs=((16, 15, 1, 7, 1), (32, 41, 4, 20, 4), (32, 5, 1, 2, 1)),
+    )
     return gen, mpd, msd
 
 

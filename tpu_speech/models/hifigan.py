@@ -11,7 +11,7 @@ them untrained, models.py:130-284).
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -169,11 +169,13 @@ class Generator(nn.Module):
 
 class DiscriminatorP(nn.Module):
     """Period discriminator: fold wav into (T/p, p) and run 2D convs
-    (models.py:130-172)."""
+    (models.py:130-172). `channels` defaults to the reference widths —
+    override only for reduced test/tiny variants."""
 
     period: int
     kernel_size: int = 5
     stride: int = 3
+    channels: Sequence[int] = (32, 128, 512, 1024)
 
     @nn.compact
     def __call__(self, x):
@@ -188,7 +190,7 @@ class DiscriminatorP(nn.Module):
         h = x.reshape(b, n // self.period, self.period, 1)  # NHWC
 
         fmap = []
-        channels = [32, 128, 512, 1024]
+        channels = list(self.channels)
         for i, ch in enumerate(channels):
             k = self.kernel_size
             fan_in = h.shape[-1] * k
@@ -205,12 +207,14 @@ class DiscriminatorP(nn.Module):
             h = nn.leaky_relu(h, LRELU_SLOPE)
             fmap.append(h)
         # 5th conv: stride 1, padding 2
+        ch_last = channels[-1]
         fan_in = h.shape[-1] * self.kernel_size
         bound = math.sqrt(1.0 / fan_in)
         w = self.param(
-            "conv_4_kernel", _uniform(bound), (self.kernel_size, 1, h.shape[-1], 1024)
+            "conv_4_kernel", _uniform(bound),
+            (self.kernel_size, 1, h.shape[-1], ch_last),
         )
-        bb = self.param("conv_4_bias", _uniform(bound), (1024,))
+        bb = self.param("conv_4_bias", _uniform(bound), (ch_last,))
         from jax import lax
 
         h = lax.conv_general_dilated(
@@ -232,21 +236,25 @@ class DiscriminatorP(nn.Module):
 
 
 class DiscriminatorS(nn.Module):
-    """Scale discriminator (models.py:188-218)."""
+    """Scale discriminator (models.py:188-218). `specs` rows are
+    (channels, kernel, stride, padding, groups) and default to the reference
+    widths — override only for reduced test/tiny variants."""
+
+    specs: Sequence[Tuple[int, int, int, int, int]] = (
+        (128, 15, 1, 7, 1),
+        (128, 41, 2, 20, 4),
+        (256, 41, 2, 20, 16),
+        (512, 41, 4, 20, 16),
+        (1024, 41, 4, 20, 16),
+        (1024, 41, 1, 20, 16),
+        (1024, 5, 1, 2, 1),
+    )
 
     @nn.compact
     def __call__(self, x):
         # x: (B, N) -> (B, N, 1)
         h = x[:, :, None]
-        specs = [
-            (128, 15, 1, 7, 1),
-            (128, 41, 2, 20, 4),
-            (256, 41, 2, 20, 16),
-            (512, 41, 4, 20, 16),
-            (1024, 41, 4, 20, 16),
-            (1024, 41, 1, 20, 16),
-            (1024, 5, 1, 2, 1),
-        ]
+        specs = list(self.specs)
         fmap = []
         for i, (ch, k, s, p, g) in enumerate(specs):
             h = Conv1dT(ch, k, stride=s, padding=p, groups=g, name=f"conv_{i}")(h)
@@ -259,12 +267,13 @@ class DiscriminatorS(nn.Module):
 
 class MultiPeriodDiscriminator(nn.Module):
     periods: Sequence[int] = (2, 3, 5, 7, 11)
+    channels: Sequence[int] = (32, 128, 512, 1024)
 
     @nn.compact
     def __call__(self, y, y_hat):
         rs, gs, fr, fg = [], [], [], []
         for p in self.periods:
-            d = DiscriminatorP(p, name=f"disc_{p}")
+            d = DiscriminatorP(p, name=f"disc_{p}", channels=self.channels)
             r, fmap_r = d(y)
             g, fmap_g = d(y_hat)
             rs.append(r); gs.append(g); fr.append(fmap_r); fg.append(fmap_g)
@@ -272,10 +281,13 @@ class MultiPeriodDiscriminator(nn.Module):
 
 
 class MultiScaleDiscriminator(nn.Module):
+    num_scales: int = 3
+    disc_specs: Optional[Sequence[Tuple[int, int, int, int, int]]] = None
+
     @nn.compact
     def __call__(self, y, y_hat):
         rs, gs, fr, fg = [], [], [], []
-        for i in range(3):
+        for i in range(self.num_scales):
             if i > 0:
                 y = nn.avg_pool(
                     y[:, :, None], (4,), strides=(2,), padding=[(2, 2)]
@@ -283,7 +295,8 @@ class MultiScaleDiscriminator(nn.Module):
                 y_hat = nn.avg_pool(
                     y_hat[:, :, None], (4,), strides=(2,), padding=[(2, 2)]
                 )[:, :, 0]
-            d = DiscriminatorS(name=f"disc_{i}")
+            kw = {} if self.disc_specs is None else {"specs": self.disc_specs}
+            d = DiscriminatorS(name=f"disc_{i}", **kw)
             r, fmap_r = d(y)
             g, fmap_g = d(y_hat)
             rs.append(r); gs.append(g); fr.append(fmap_r); fg.append(fmap_g)

@@ -52,14 +52,30 @@ class ConvPositionalEmbedding(nn.Module):
 
 
 class MultiheadSelfAttention(nn.Module):
-    """Standard softmax MHA with q/k/v/out projections (fairseq layout)."""
+    """Standard softmax MHA with q/k/v/out projections (fairseq layout).
+
+    On TPU (at supported sequence lengths) the score/softmax/dropout/value
+    chain runs as the fused Pallas kernel ``ops/fused_attention.py`` — the
+    (B, H, T, T) probs and their dropout bits never touch HBM, which is the
+    single largest bandwidth term in the SPIRAL pretrain step. ``fused``
+    overrides the auto choice (None = on for TPU when T <= MAX_T).
+    """
 
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
+    fused: Optional[bool] = None
+    # Pallas interpret mode for the fused path — CPU tests only (dropout_p
+    # must be 0 there: the TPU PRNG has no interpret lowering)
+    fused_interpret: bool = False
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, train: bool = False):
+        from tpu_speech.ops.fused_attention import (
+            fused_attention_supported,
+            fused_self_attention,
+        )
+
         d_head = self.embed_dim // self.num_heads
         q = nn.Dense(self.embed_dim, name="q_proj")(x) * (d_head**-0.5)
         k = nn.Dense(self.embed_dim, name="k_proj")(x)
@@ -68,16 +84,38 @@ class MultiheadSelfAttention(nn.Module):
         qh = q.reshape(b, t, self.num_heads, d_head)
         kh = k.reshape(b, t, self.num_heads, d_head)
         vh = v.reshape(b, t, self.num_heads, d_head)
-        scores = jnp.einsum("bthd,bshd->bhts", qh, kh)
-        if key_padding_mask is not None:
-            # True = padded (reference convention); finite fill so fully
-            # padded query rows yield zeros rather than NaNs after masking
-            scores = jnp.where(
-                key_padding_mask[:, None, None, :], -1e9, scores
-            )
-        p = nn.softmax(scores, axis=-1)
-        p = nn.Dropout(self.dropout, deterministic=not train)(p)
-        out = jnp.einsum("bhts,bshd->bthd", p, vh).reshape(b, t, self.embed_dim)
+
+        use_fused = (
+            self.fused if self.fused is not None
+            else fused_attention_supported(t)
+        )
+        drop_p = float(self.dropout) if train else 0.0
+        if use_fused:
+            seed = None
+            if drop_p > 0.0:
+                # a scalar int32 per (layer, step) from the dropout stream;
+                # the kernel folds in (batch, head) ids
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, 2**31 - 1,
+                    dtype=jnp.int32,
+                )
+            out = fused_self_attention(
+                qh, kh, vh, key_padding_mask, dropout_p=drop_p,
+                dropout_seed=seed, interpret=self.fused_interpret,
+            ).reshape(b, t, self.embed_dim)
+        else:
+            scores = jnp.einsum("bthd,bshd->bhts", qh, kh)
+            if key_padding_mask is not None:
+                # True = padded (reference convention); finite fill so fully
+                # padded query rows yield zeros rather than NaNs after masking
+                scores = jnp.where(
+                    key_padding_mask[:, None, None, :], -1e9, scores
+                )
+            p = nn.softmax(scores, axis=-1)
+            p = nn.Dropout(self.dropout, deterministic=not train)(p)
+            out = jnp.einsum(
+                "bhts,bshd->bthd", p, vh
+            ).reshape(b, t, self.embed_dim)
         return nn.Dense(self.embed_dim, name="out_proj")(out)
 
 

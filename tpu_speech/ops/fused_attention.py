@@ -1,0 +1,242 @@
+"""Fused multihead self-attention Pallas TPU kernel (with in-kernel dropout).
+
+Why this exists: the SPIRAL transformer stack (models/spiral/wav2vec.py,
+re-designed from SPIRAL/nemo/collections/asr/parts/multihead_attention.py:15-)
+runs full O(T^2) attention with attention-prob dropout p=0.1 at training
+time. Lowered through XLA, every layer materializes the (B, H, T, T) score
+and prob tensors in HBM *and* draws (B, H, T, T) uint32 dropout bits — at
+the SPIRAL-base pretrain operating point (B=24, T in {392..456} block1 /
+{196..228} block2, 13 layers x teacher+student) a profiled ~11 ms/step of
+RngBitGenerator plus the associated score/prob/mask HBM round-trips, over
+25% of total device time. The MXU work itself is ~14 ms/step — the step is
+bandwidth-bound, not FLOPs-bound (see README "SPIRAL step attribution").
+
+Design: sequence lengths here are short (T <= 768 after conv subsampling),
+so one (batch, head) program holds the ENTIRE (T, T) score tile in VMEM —
+no flash-style streaming softmax is needed. Kernel-side layout is
+(B, H, T, D) so every block's trailing two dims equal the full (T, D)
+plane (the Mosaic tiling requirement); the public API stays (B, T, H, D)
+and the wrapper transposes (cost O(B*T*H*D), negligible vs the O(T^2)
+traffic saved). Grid (B, H); each program:
+
+    q,k,v (T, D) VMEM loads -> scores = q @ k^T (MXU, f32 accum)
+    -> key-padding fill (-1e9, exact `where` semantics like the XLA path)
+    -> row-softmax in f32 -> dropout via the per-core PRNG
+       (pltpu.prng_random_bits, seeded by (step_seed, b, h) so the backward
+       pass REGENERATES the identical mask instead of storing it)
+    -> out = probs @ v (MXU).
+
+The only HBM traffic is q/k/v in and out — probs, masks and dropout bits
+never leave VMEM. The custom VJP recomputes the probs in the backward
+kernel (cheaper than storing (B,H,T,T)) and emits dq/dk/dv in one program.
+
+Numerics: matmuls keep the input dtype operands with f32 accumulation
+(preferred_element_type); the softmax always runs in f32 (the XLA path
+runs it in the activation dtype, so the fused path is never less accurate).
+Callers keep their XLA path when `fused_attention_supported` is False
+(T > MAX_T VMEM bound, or non-TPU backend). Note: dropout_p > 0 requires
+the TPU PRNG primitives and is NOT available in interpret mode on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_self_attention", "fused_attention_supported", "MAX_T"]
+
+# one (T, T) f32 tile x ~5 live in the bwd kernel + vectors must fit VMEM
+MAX_T = 768
+
+
+def fused_attention_supported(t: int, backend: Optional[str] = None) -> bool:
+    if backend is None:
+        backend = jax.default_backend()
+    return backend == "tpu" and t <= MAX_T
+
+
+def _softmax_rows(s: jnp.ndarray) -> jnp.ndarray:
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _keep_mask(shape, dropout_p: float) -> jnp.ndarray:
+    """Bernoulli(1-p) keep mask from the per-core PRNG (seeded by caller)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    threshold = jnp.uint32(min(int(dropout_p * 2.0**32), 2**32 - 1))
+    return (bits >= threshold).astype(jnp.float32)
+
+
+def _fwd_kernel(mask_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, *,
+                dropout_p: float):
+    q = q_ref[0, 0, :, :]
+    k = k_ref[0, 0, :, :]
+    v = v_ref[0, 0, :, :]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    pad = mask_ref[0, 0, :]  # (T,) 1.0 at padded keys
+    s = jnp.where(pad[None, :] > 0.0, -1e9, s)
+    p = _softmax_rows(s)
+    if dropout_p > 0.0:
+        # Mosaic accepts at most 2 seed words: fold (b, h) into one
+        bh = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+        pltpu.prng_seed(seed_ref[0], bh)
+        p = p * _keep_mask(p.shape, dropout_p) * (1.0 / (1.0 - dropout_p))
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0, :, :] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel(mask_ref, seed_ref, q_ref, k_ref, v_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, *, dropout_p: float):
+    q = q_ref[0, 0, :, :]
+    k = k_ref[0, 0, :, :]
+    v = v_ref[0, 0, :, :]
+    do = do_ref[0, 0, :, :]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    pad = mask_ref[0, 0, :]
+    s = jnp.where(pad[None, :] > 0.0, -1e9, s)
+    p = _softmax_rows(s)  # pre-dropout probs (f32)
+    if dropout_p > 0.0:
+        # identical seeding + generation order as the forward -> same mask
+        bh = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+        pltpu.prng_seed(seed_ref[0], bh)
+        keep = _keep_mask(p.shape, dropout_p) * (1.0 / (1.0 - dropout_p))
+        pd = p * keep
+    else:
+        keep = None
+        pd = p
+    # dv = dropout(p)^T @ do
+    dv = jax.lax.dot_general(
+        pd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # d(dropout(p)) = do @ v^T ; back through dropout scaling
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if keep is not None:
+        dp = dp * keep
+    # softmax jvp: ds = p * (dp - sum_j dp*p)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds = ds.astype(q.dtype)
+    dq = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dq_ref[0, 0, :, :] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0, :, :] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0, :, :] = dv.astype(dv_ref.dtype)
+
+
+def _specs(t, d):
+    # trailing block dims equal the full (T, D) / (1, T) planes, which is
+    # always Mosaic-legal regardless of T/D alignment
+    qkv = pl.BlockSpec((1, 1, t, d), lambda i, j: (i, j, 0, 0),
+                       memory_space=pltpu.VMEM)
+    mask = pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    seed = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return qkv, mask, seed
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fused_attn(q, k, v, maskf, seed, dropout_p, interpret):
+    """q, k, v: (B, H, T, D); maskf: (B, 1, T); seed: (1,) int32 SMEM."""
+    return _fused_attn_fwd(q, k, v, maskf, seed, dropout_p, interpret)[0]
+
+
+def _fused_attn_fwd(q, k, v, maskf, seed, dropout_p, interpret):
+    b, h, t, d = q.shape
+    qkv, mask, seed_spec = _specs(t, d)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, dropout_p=dropout_p),
+        grid=(b, h),
+        in_specs=[mask, seed_spec, qkv, qkv, qkv],
+        out_specs=qkv,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+    )(maskf, seed, q, k, v)
+    return out, (q, k, v, maskf, seed)
+
+
+def _fused_attn_bwd(dropout_p, interpret, res, do):
+    q, k, v, maskf, seed = res
+    b, h, t, d = q.shape
+    qkv, mask, seed_spec = _specs(t, d)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, dropout_p=dropout_p),
+        grid=(b, h),
+        in_specs=[mask, seed_spec, qkv, qkv, qkv, qkv],
+        out_specs=(qkv, qkv, qkv),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        interpret=interpret,
+    )(maskf, seed, q, k, v, do)
+    return dq, dk, dv, None, None
+
+
+_fused_attn.defvjp(_fused_attn_fwd, _fused_attn_bwd)
+
+
+def fused_self_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_padding_mask: Optional[jnp.ndarray] = None,
+    dropout_p: float = 0.0,
+    dropout_seed: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """softmax(q @ k^T + pad-fill) [dropout] @ v, fused in VMEM.
+
+    q, k, v: (B, T, H, D) — q pre-scaled by the caller (d_head**-0.5).
+    key_padding_mask: (B, T) bool, True = padded key (reference convention,
+        multihead_attention.py key_padding_mask) — filled with -1e9 exactly
+        like the XLA path's jnp.where.
+    dropout_p: static attention-prob dropout rate (0.0 disables the PRNG).
+        Requires the TPU backend (no interpret-mode lowering for the
+        Pallas PRNG primitives in this JAX version).
+    dropout_seed: int32 scalar; required when dropout_p > 0. The (seed, b, h)
+        triple seeds the per-core PRNG, so a given seed reproduces the same
+        mask in forward and backward.
+    Returns (B, T, H, D).
+    """
+    b, t, h, d = q.shape
+    if not interpret and not fused_attention_supported(t):
+        raise ValueError(
+            f"fused attention unsupported here (T={t} > {MAX_T} or non-TPU "
+            "backend); use the XLA path"
+        )
+    if key_padding_mask is None:
+        maskf = jnp.zeros((b, 1, t), dtype=jnp.float32)
+    else:
+        maskf = key_padding_mask.astype(jnp.float32).reshape(b, 1, t)
+    if dropout_p > 0.0:
+        if dropout_seed is None:
+            raise ValueError("dropout_p > 0 requires dropout_seed")
+        seed = jnp.asarray(dropout_seed, dtype=jnp.int32).reshape(1)
+    else:
+        seed = jnp.zeros((1,), dtype=jnp.int32)
+    # kernel layout (B, H, T, D); transposes are fused by XLA where possible
+    qt = jnp.transpose(q, (0, 2, 1, 3))
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+    out = _fused_attn(qt, kt, vt, maskf, seed, float(dropout_p), interpret)
+    return jnp.transpose(out, (0, 2, 1, 3))
