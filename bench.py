@@ -45,23 +45,31 @@ TEXT = (
 )
 
 
-def _median_time(fn, *args, n=10):
+def _median_time(fn, *args, n=15, warmup=3):
     """Median wall time with a HARD host sync per call.
 
     jax.block_until_ready does not synchronize on the tunneled single-chip
     platform (it returns while the computation is still queued), so timing
     must round-trip the outputs to the host via device_get — which is also
-    the honest end-to-end cost (the caller needs the audio on the host)."""
-    out = jax.device_get(fn(*args))
+    the honest end-to-end cost (the caller needs the audio on the host).
+
+    The tunnel adds a network round trip with real tail latency, so the
+    measurement takes `warmup` throwaway calls (compile + tunnel/allocator
+    steady state) then the median of `n` samples, and also returns the
+    (p25, p75) spread so drift between runs is visible in the emitted line."""
+    out = None
+    for _ in range(max(warmup, 1)):
+        out = jax.device_get(fn(*args))
     times = []
     for _ in range(n):
         t0 = time.perf_counter()
         out = jax.device_get(fn(*args))
         times.append(time.perf_counter() - t0)
-    return float(np.median(times)), out
+    q25, q50, q75 = np.percentile(times, [25, 50, 75])
+    return float(q50), out, (float(q25), float(q75))
 
 
-CHAIN = 8  # utterances synthesized sequentially inside ONE dispatch
+CHAIN = 16  # utterances synthesized sequentially inside ONE dispatch
 
 
 def _cast_bf16(tree):
@@ -123,9 +131,8 @@ def bench_tts(e2e: bool, bf16: bool = False, solver: str = "euler",
             )
             return wavs, ylens
 
-        t, (_, ylens) = _median_time(
+        t, (_, ylens), spread = _median_time(
             synth_chain, params, voc_params, x, xl, jax.random.PRNGKey(0),
-            n=5,
         )
     else:
         @jax.jit
@@ -142,11 +149,12 @@ def bench_tts(e2e: bool, bf16: bool = False, solver: str = "euler",
             )
             return decs, ylens
 
-        t, (_, ylens) = _median_time(
-            synth_chain, params, x, xl, jax.random.PRNGKey(0), n=5
+        t, (_, ylens), spread = _median_time(
+            synth_chain, params, x, xl, jax.random.PRNGKey(0)
         )
     n_frames = int(np.asarray(ylens).reshape(-1)[0])
-    return (t / CHAIN) * SAMPLE_RATE / (n_frames * HOP)
+    scale = SAMPLE_RATE / (CHAIN * n_frames * HOP)
+    return t * scale, (spread[0] * scale, spread[1] * scale)
 
 
 def bench_spiral_step(bf16: bool, batch_size: int = 24, crop: int = 250000):
@@ -182,12 +190,13 @@ def bench_spiral_step(bf16: bool, batch_size: int = 24, crop: int = 250000):
     # donated state: time by chaining states; device_get is the only hard
     # sync on the tunneled platform (see _median_time). rbg rng = the
     # SpiralModelConfig production default.
-    state, m = step(state, batch, step_rng(0))
-    jax.device_get(m["loss"])
-    times = []
-    for i in range(5):
-        t0 = time.perf_counter()
+    for i in range(3):
         state, m = step(state, batch, step_rng(i))
+        jax.device_get(m["loss"])
+    times = []
+    for i in range(9):
+        t0 = time.perf_counter()
+        state, m = step(state, batch, step_rng(3 + i))
         jax.device_get(m["loss"])
         times.append(time.perf_counter() - t0)
     return float(np.median(times)) * 1e3
@@ -223,39 +232,44 @@ def bench_gradtts_train_step(bf16: bool = False, batch_size: int = 16):
     tx = optax.adam(1e-4)
     state = TrainState.create({"params": params["params"]}, tx)
     step = make_train_step(model, tx, out_size=out_size, bf16=bf16)
-    state, m = step(state, batch, jax.random.PRNGKey(0))
-    jax.device_get(m["loss"])
+    for i in range(3):
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+        jax.device_get(m["loss"])
     times = []
-    for i in range(5):
+    for i in range(9):
         t0 = time.perf_counter()
-        state, m = step(state, batch, jax.random.PRNGKey(i + 1))
+        state, m = step(state, batch, jax.random.PRNGKey(3 + i))
         jax.device_get(m["loss"])
         times.append(time.perf_counter() - t0)
     return float(np.median(times)) * 1e3
 
 
-def emit(metric, value, unit, vs_baseline):
-    print(json.dumps({
+def emit(metric, value, unit, vs_baseline, spread=None):
+    rec = {
         "metric": metric, "value": round(value, 6), "unit": unit,
         "vs_baseline": round(vs_baseline, 3),
-    }), flush=True)
+    }
+    if spread is not None:
+        rec["p25"] = round(spread[0], 6)
+        rec["p75"] = round(spread[1], 6)
+    print(json.dumps(rec), flush=True)
 
 
 def run_one(metric: str):
     if metric == "gradtts_e2e_wav_rtf_10step":
-        rtf = bench_tts(e2e=True)
-        emit(metric, rtf, "rtf", TARGET_RTF / rtf)
+        rtf, sp = bench_tts(e2e=True)
+        emit(metric, rtf, "rtf", TARGET_RTF / rtf, sp)
     elif metric == "gradtts_e2e_wav_rtf_10step_bf16":
-        rtf = bench_tts(e2e=True, bf16=True)
-        emit(metric, rtf, "rtf", TARGET_RTF / rtf)
+        rtf, sp = bench_tts(e2e=True, bf16=True)
+        emit(metric, rtf, "rtf", TARGET_RTF / rtf, sp)
     elif metric == "gradtts_rtf_10step":
-        rtf = bench_tts(e2e=False)
-        emit(metric, rtf, "rtf", TARGET_RTF / rtf)
+        rtf, sp = bench_tts(e2e=False)
+        emit(metric, rtf, "rtf", TARGET_RTF / rtf, sp)
     elif metric == "gradtts_e2e_wav_rtf_dpm6":
         # DPM-Solver++(2M), 6 network calls — lands CLOSER to the many-step
         # limit than the 10-step euler default (tests/test_dpm_solver.py)
-        rtf = bench_tts(e2e=True, solver="dpm", n_steps=6)
-        emit(metric, rtf, "rtf", TARGET_RTF / rtf)
+        rtf, sp = bench_tts(e2e=True, solver="dpm", n_steps=6)
+        emit(metric, rtf, "rtf", TARGET_RTF / rtf, sp)
     elif metric == "gradtts_e2e_throughput_b16":
         xrt = bench_tts_throughput()
         # baseline: the inverted north-star RTF (0.02 -> 50x realtime/chip)
@@ -312,8 +326,8 @@ def bench_tts_throughput(batch: int = 16):
         ).astype(jnp.int16)
         return pcm, ylen
 
-    t, (_, ylens) = _median_time(
-        synth, params, voc_params, x, xl, jax.random.PRNGKey(0), n=5
+    t, (_, ylens), _ = _median_time(
+        synth, params, voc_params, x, xl, jax.random.PRNGKey(0)
     )
     audio_seconds = float(np.sum(np.asarray(ylens))) * HOP / SAMPLE_RATE
     return audio_seconds / t
@@ -333,7 +347,7 @@ def bench_hifigan_throughput(batch: int = 16):
     def vocode(vp, mel):
         return voc.apply(vp, mel)
 
-    t, wav = _median_time(vocode, voc_params, mel, n=5)
+    t, wav, _ = _median_time(vocode, voc_params, mel)
     audio_seconds = batch * BUCKET * HOP / SAMPLE_RATE
     return audio_seconds / t
 

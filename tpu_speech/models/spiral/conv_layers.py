@@ -49,19 +49,35 @@ def tf_pad_2d(kernel: Tuple[int, int], stride: Tuple[int, int],
 
 
 class Conv1dTF(nn.Module):
-    """1d conv, channels-last (B, T, C), TF 'same' padding, mask-aware."""
+    """1d conv, channels-last (B, T, C), TF 'same' padding, mask-aware.
+
+    ``causal=True`` switches to left-only padding (k-1, 0): output frame t
+    depends on inputs [t*s - (k-1), t*s] only — the streaming-trainable
+    variant (the reference ships fairseq incremental-state plumbing unused,
+    multihead_attention.py:15-465; here causality is a first-class mode so
+    streaming inference can match training exactly).
+    ``incremental=True`` (inference): the caller prepends the (k-1)-frame
+    input cache itself; the conv runs VALID (no padding) and emits exactly
+    the new frames' outputs.
+    """
 
     filters: int
     kernel_size: int
     stride: int = 1
     use_bias: bool = True
+    causal: bool = False
 
     @nn.compact
-    def __call__(self, x, lens, pad_mask=None):
+    def __call__(self, x, lens, pad_mask=None, incremental: bool = False):
         in_ch = x.shape[-1]
         if pad_mask is not None and self.kernel_size > 1:
             x = jnp.where(pad_mask[:, :, None], 0.0, x)
-        pads = tf_pad_1d(self.kernel_size, self.stride, in_ch)
+        if incremental:
+            pads = (0, 0)
+        elif self.causal:
+            pads = (self.kernel_size - 1, 0)
+        else:
+            pads = tf_pad_1d(self.kernel_size, self.stride, in_ch)
         w = self.param(
             "kernel",
             nn.initializers.kaiming_normal(),
@@ -124,15 +140,17 @@ class ConvNormAct(nn.Module):
     ln_eps: float = 1e-5
     gn_groups: Optional[int] = None
     bias: Optional[bool] = None
+    causal: bool = False
 
     @nn.compact
-    def __call__(self, x, lens, pad_mask=None, train: bool = False):
+    def __call__(self, x, lens, pad_mask=None, train: bool = False,
+                 incremental: bool = False):
         use_bias = self.bias if self.bias is not None else self.norm_type is None
         if self.conv_type == "1d":
             y, lens, pad_mask = Conv1dTF(
                 self.filters, self.kernel_size[0], self.stride[0],
-                use_bias=use_bias, name="conv",
-            )(x, lens, pad_mask)
+                use_bias=use_bias, causal=self.causal, name="conv",
+            )(x, lens, pad_mask, incremental=incremental)
         else:
             y, lens, pad_mask = Conv2dTF(
                 self.filters, tuple(self.kernel_size), tuple(self.stride),
@@ -169,14 +187,18 @@ class ProjUpsampling(nn.Module):
     dropout: float = 0.0
     ln_eps: float = 1e-5
     use_bias: bool = True
+    causal: bool = False
 
     @nn.compact
-    def __call__(self, x, lens, train: bool = False):
-        pad_mask = create_pad_mask(lens, x.shape[1])
+    def __call__(self, x, lens, train: bool = False,
+                 incremental: bool = False):
+        pad_mask = (
+            None if incremental else create_pad_mask(lens, x.shape[1])
+        )
         y, lens, _ = Conv1dTF(
             self.filters * self.rate, self.kernel_size[0], 1,
-            use_bias=self.use_bias, name="proj",
-        )(x, lens, pad_mask)
+            use_bias=self.use_bias, causal=self.causal, name="proj",
+        )(x, lens, pad_mask, incremental=incremental)
         b, t, _ = y.shape
         y = y.reshape(b, t * self.rate, self.filters)
         lens = lens * self.rate

@@ -43,6 +43,8 @@ class ConvASRDecoder(nn.Module):
     upsample_norm: Optional[str] = "ln"
     upsample_act: Optional[str] = "relu"
     upsample_dropout: float = 0.1
+    # causal decoder convs — set for streaming models (streaming.py)
+    causal: bool = False
 
     @property
     def blank_idx(self) -> int:
@@ -63,13 +65,15 @@ class ConvASRDecoder(nn.Module):
             x, lens = ProjUpsampling(
                 self.upsample_filters, (5,), self.upsample_rate,
                 norm_type=self.upsample_norm, act_func=self.upsample_act,
-                dropout=self.upsample_dropout, name="proj_upsampling",
+                dropout=self.upsample_dropout, causal=self.causal,
+                name="proj_upsampling",
             )(x, lens, train=train)
         pad_mask = create_pad_mask(lens, x.shape[1])
         for i, c in enumerate(self.conv_layers):
             x, lens, pad_mask = ConvNormAct(
                 c.filters, c.kernel_size, c.stride, c.norm_type, c.act_func,
-                c.dropout, "1d", bias=c.bias, name=f"conv_{i}",
+                c.dropout, "1d", bias=c.bias, causal=self.causal,
+                name=f"conv_{i}",
             )(x, lens, pad_mask, train=train)
         logits = nn.Dense(self.num_classes_with_blank, name="decoder_proj")(x)
         return nn.log_softmax(logits, axis=-1), lens
@@ -110,6 +114,9 @@ class CTCFinetuneModel(nn.Module):
             upsample_norm=self.upsample_norm,
             upsample_act=self.upsample_act,
             upsample_dropout=self.upsample_dropout,
+            # streaming encoder implies a causal decoder so the whole
+            # specs->logits path is chunk-incremental (streaming.py)
+            causal=self.encoder_cfg.streaming is not None,
         )
 
     @typecheck(specs="B T F", spec_lens="B")

@@ -50,6 +50,22 @@ class ConvTransformerBlockCfg:
     transformer: Optional[TransformerCfg] = None
 
 
+@dataclasses.dataclass(frozen=True)
+class StreamingCfg:
+    """Streaming-trainable encoder mode: causal convs, causal positional
+    conv, and block-chunked attention. `chunk_frames` is the chunk width in
+    INPUT spec frames (must be divisible by the encoder's total subsample
+    factor); each transformer block chunks at chunk_frames / its cumulative
+    subsample. An offline forward in this mode equals the incremental
+    chunk-by-chunk inference in models/spiral/streaming.py exactly —
+    train/serve parity by construction (the reference's incremental-state
+    attention, multihead_attention.py:15-465, ships unused and untrained).
+    """
+
+    chunk_frames: int
+    left_chunks: int = 2
+
+
 # SPIRAL-base feature encoder (spiral_base_pretrain_ls960.py:48-111)
 def spiral_base_blocks() -> Tuple[ConvTransformerBlockCfg, ...]:
     return (
@@ -99,6 +115,7 @@ class FeatureEncoder(nn.Module):
 
     blocks: Tuple[ConvTransformerBlockCfg, ...]
     use_conv_mask: bool = True
+    streaming: Optional[StreamingCfg] = None
 
     @property
     def output_dim(self) -> int:
@@ -124,14 +141,23 @@ class FeatureEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, lens, train: bool = False):
+        stream = self.streaming
+        if stream is not None:
+            assert stream.chunk_frames % self.subsample_factor == 0, (
+                "streaming chunk_frames must divide by the encoder's total "
+                f"subsample factor ({self.subsample_factor})"
+            )
         pad_mask = create_pad_mask(lens, x.shape[1]) if self.use_conv_mask else None
+        cum_stride = 1
         for bi, blk in enumerate(self.blocks):
             for ci, c in enumerate(blk.conv_layers):
                 x, lens, pad_mask = ConvNormAct(
                     c.filters, c.kernel_size, c.stride, c.norm_type,
                     c.act_func, c.dropout, "1d", bias=c.bias,
+                    causal=stream is not None,
                     name=f"block{bi}_conv{ci}",
                 )(x, lens, pad_mask, train=train)
+                cum_stride *= c.stride[0]
             if blk.transformer is not None:
                 t = blk.transformer
                 x = TransformerEncoder(
@@ -143,6 +169,14 @@ class FeatureEncoder(nn.Module):
                     conv_pos=t.conv_pos, conv_pos_groups=t.conv_pos_groups,
                     layer_norm_first=t.layer_norm_first,
                     activation_fn=t.activation_fn,
+                    causal_pos=stream is not None,
+                    attn_chunk=(
+                        None if stream is None
+                        else stream.chunk_frames // cum_stride
+                    ),
+                    attn_left_chunks=(
+                        1 if stream is None else stream.left_chunks
+                    ),
                     name=f"block{bi}_transformer",
                 )(x, pad_mask, train=train)
         return x, lens

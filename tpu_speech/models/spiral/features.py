@@ -134,6 +134,20 @@ def filterbank_features(
         ) / jnp.maximum(cnt - 1.0, 1.0)  # Bessel (torch.std default)
         std = jnp.sqrt(var) + CONSTANT
         feats = (feats - mean[:, None, :]) / std[:, None, :]
+    elif normalize == "per_feature_causal":
+        # streaming mode: frame t is normalized by the stats of frames
+        # [0..t] only (cumulative mean / Bessel variance), so each output
+        # frame depends on the prefix alone and the incremental featurizer
+        # in models/spiral/streaming.py can match it exactly by carrying
+        # (count, sum, sum-of-squares) across chunks.
+        vm = valid[:, :, None]
+        cnt = jnp.cumsum(vm, axis=1)
+        s1 = jnp.cumsum(feats * vm, axis=1)
+        s2 = jnp.cumsum(jnp.square(feats) * vm, axis=1)
+        mean = s1 / jnp.maximum(cnt, 1.0)
+        var = (s2 - cnt * jnp.square(mean)) / jnp.maximum(cnt - 1.0, 1.0)
+        std = jnp.sqrt(jnp.maximum(var, 0.0)) + CONSTANT
+        feats = (feats - mean) / std
     elif normalize == "all_features":
         cnt = jnp.sum(valid, axis=1)[:, None, None] * feats.shape[-1]
         mean = jnp.sum(feats * valid[:, :, None], axis=(1, 2))[:, None, None] / cnt

@@ -32,6 +32,7 @@ from tpu_speech.models.spiral.encoder import (
     ConvTransformerBlockCfg,
     FeatureEncoder,
     Projector,
+    StreamingCfg,
     TransformerCfg,
     spiral_base_blocks,
 )
@@ -61,6 +62,9 @@ class ST2VecConfig:
     mask_channel_prob: float = 0.4
     mask_channel_length: int = 20
     dither: float = 1e-5  # train-only waveform dither (features.py CONSTANT)
+    # streaming-trainable encoder mode (causal convs + chunked attention);
+    # see encoder.StreamingCfg and models/spiral/streaming.py
+    streaming: Optional[StreamingCfg] = None
 
 
 def spiral_base_config(**overrides) -> ST2VecConfig:
@@ -95,7 +99,9 @@ class ST2VecEncoder(nn.Module):
     cfg: ST2VecConfig
 
     def setup(self):
-        self.feature_encoder = FeatureEncoder(self.cfg.blocks)
+        self.feature_encoder = FeatureEncoder(
+            self.cfg.blocks, streaming=self.cfg.streaming
+        )
         self.projector = Projector(output_dim=self.cfg.projector_dim)
         self.predictor = Projector(
             conv_layers=self.cfg.predictor_convs,

@@ -19,14 +19,21 @@ from jax import lax
 
 class ConvPositionalEmbedding(nn.Module):
     """Grouped conv (k=128, g=16) with weight-norm(dim=2) + SamePad + GELU
-    (wav2vec.py:139-152)."""
+    (wav2vec.py:139-152).
+
+    ``causal=True`` pads left-only (k-1, 0): frame t sees [t-k+1, t] — the
+    streaming-trainable mode. ``incremental=True`` (inference): the caller
+    prepends the (k-1)-frame input cache and the conv runs VALID, emitting
+    outputs for the new frames only.
+    """
 
     embedding_dim: int
     conv_pos: int = 128
     conv_pos_groups: int = 16
+    causal: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, incremental: bool = False):
         k, g, c = self.conv_pos, self.conv_pos_groups, self.embedding_dim
         std = math.sqrt(4.0 / (k * c))
         # weight-norm parametrization: direction v + per-k magnitude g
@@ -42,13 +49,33 @@ class ConvPositionalEmbedding(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (c,))
         norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(1, 2), keepdims=True))
         w = v / jnp.maximum(norm, 1e-12) * gmag[:, None, None]
+        if incremental:
+            pads = (0, 0)
+        elif self.causal:
+            pads = (k - 1, 0)
+        else:
+            pads = (k // 2, k // 2)
         y = lax.conv_general_dilated(
-            x, w, window_strides=(1,), padding=[(k // 2, k // 2)],
+            x, w, window_strides=(1,), padding=[pads],
             dimension_numbers=("NHC", "HIO", "NHC"), feature_group_count=g,
         ) + b
-        if k % 2 == 0:  # SamePad: even kernel produces one extra frame
+        if k % 2 == 0 and not (self.causal or incremental):
+            # SamePad: even kernel produces one extra frame
             y = y[:, :-1]
         return nn.gelu(y, approximate=False)
+
+
+def chunked_attention_mask(t: int, chunk: int, left_chunks: int):
+    """(T, T) bool, True where attention is ALLOWED under block-chunked
+    streaming: frames in chunk j attend to all of chunks [j-left_chunks, j].
+
+    This is the offline-trainable twin of the incremental KV-cache inference
+    in models/spiral/streaming.py — an offline forward under this mask equals
+    the chunk-by-chunk streaming forward exactly.
+    """
+    cj = jnp.arange(t) // chunk
+    diff = cj[:, None] - cj[None, :]
+    return (diff >= 0) & (diff <= left_chunks)
 
 
 class MultiheadSelfAttention(nn.Module):
@@ -70,7 +97,8 @@ class MultiheadSelfAttention(nn.Module):
     fused_interpret: bool = False
 
     @nn.compact
-    def __call__(self, x, key_padding_mask=None, train: bool = False):
+    def __call__(self, x, key_padding_mask=None, train: bool = False,
+                 attn_mask=None):
         from tpu_speech.ops.fused_attention import (
             fused_attention_supported,
             fused_self_attention,
@@ -89,6 +117,9 @@ class MultiheadSelfAttention(nn.Module):
             self.fused if self.fused is not None
             else fused_attention_supported(t)
         )
+        if attn_mask is not None:
+            # structured (e.g. chunked-streaming) masks run the unfused path
+            use_fused = False
         drop_p = float(self.dropout) if train else 0.0
         if use_fused:
             seed = None
@@ -105,6 +136,10 @@ class MultiheadSelfAttention(nn.Module):
             ).reshape(b, t, self.embed_dim)
         else:
             scores = jnp.einsum("bthd,bshd->bhts", qh, kh)
+            if attn_mask is not None:  # True = allowed, (T, T)
+                scores = jnp.where(
+                    attn_mask[None, None, :, :], scores, -1e9
+                )
             if key_padding_mask is not None:
                 # True = padded (reference convention); finite fill so fully
                 # padded query rows yield zeros rather than NaNs after masking
@@ -132,7 +167,8 @@ class TransformerSentenceEncoderLayer(nn.Module):
     layer_norm_first: bool = True
 
     @nn.compact
-    def __call__(self, x, key_padding_mask=None, train: bool = False):
+    def __call__(self, x, key_padding_mask=None, train: bool = False,
+                 attn_mask=None):
         act = (
             (lambda v: nn.gelu(v, approximate=False))
             if self.activation_fn == "gelu"
@@ -144,7 +180,7 @@ class TransformerSentenceEncoderLayer(nn.Module):
             h = MultiheadSelfAttention(
                 self.embedding_dim, self.num_attention_heads,
                 self.attention_dropout, name="self_attn",
-            )(h, key_padding_mask, train=train)
+            )(h, key_padding_mask, train=train, attn_mask=attn_mask)
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
             x = residual + h
 
@@ -160,7 +196,7 @@ class TransformerSentenceEncoderLayer(nn.Module):
             h = MultiheadSelfAttention(
                 self.embedding_dim, self.num_attention_heads,
                 self.attention_dropout, name="self_attn",
-            )(x, key_padding_mask, train=train)
+            )(x, key_padding_mask, train=train, attn_mask=attn_mask)
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
             x = nn.LayerNorm(name="self_attn_layer_norm")(residual + h)
             residual = x
@@ -187,6 +223,13 @@ class TransformerEncoder(nn.Module):
     encoder_layerdrop: float = 0.0
     conv_pos: int = 128
     conv_pos_groups: int = 16
+    # streaming-trainable mode: causal positional conv + block-chunked
+    # attention (frames in chunk j attend to chunks [j-left, j]); an offline
+    # forward in this mode equals the incremental chunked inference in
+    # models/spiral/streaming.py exactly
+    causal_pos: bool = False
+    attn_chunk: Optional[int] = None
+    attn_left_chunks: int = 1
 
     @nn.compact
     def __call__(self, x, padding_mask=None, train: bool = False):
@@ -194,8 +237,13 @@ class TransformerEncoder(nn.Module):
             x = jnp.where(padding_mask[:, :, None], 0.0, x)
         x = x + ConvPositionalEmbedding(
             self.embedding_dim, self.conv_pos, self.conv_pos_groups,
-            name="pos_conv",
+            causal=self.causal_pos, name="pos_conv",
         )(x)
+        attn_mask = None
+        if self.attn_chunk is not None:
+            attn_mask = chunked_attention_mask(
+                x.shape[1], self.attn_chunk, self.attn_left_chunks
+            )
         if not self.layer_norm_first:
             x = nn.LayerNorm(name="layer_norm")(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
@@ -207,7 +255,7 @@ class TransformerEncoder(nn.Module):
                 self.attention_dropout, self.activation_dropout,
                 self.activation_fn, self.layer_norm_first,
                 name=f"layer_{i}",
-            )(x, padding_mask, train=train)
+            )(x, padding_mask, train=train, attn_mask=attn_mask)
             if train and self.encoder_layerdrop > 0:
                 keep = jax.random.bernoulli(
                     self.make_rng("dropout"), 1.0 - self.encoder_layerdrop
