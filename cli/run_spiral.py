@@ -61,6 +61,10 @@ def main(argv=None):
     parser.add_argument("--finetune_from_scratch", type=str2bool, default=False)
     parser.add_argument("--use_teacher_encoder", type=str2bool, default=False)
     parser.add_argument("--save_logits", type=str2bool, default=False)
+    parser.add_argument("--streaming_eval", type=str2bool, default=False,
+                        help="test mode: decode through the chunk-"
+                             "incremental streaming transcriber (requires a "
+                             "streaming-mode model)")
     parser.add_argument("--beam_size", type=int, default=1,
                         help="test-mode CTC decode: 1 = greedy (reference "
                         "behavior), >1 = prefix beam search "
@@ -241,6 +245,13 @@ def main(argv=None):
     if args.resume_if_exists and runner.resume_if_exists():
         print(f"Resumed from iteration {runner.iteration}")
 
+    if args.run_mode == "test" and args.streaming_eval:
+        results = runner.evaluate_streaming()
+        print(
+            f"TEST (streaming): WER = {results['wer']:.4f} | "
+            f"CER = {results['cer']:.4f} | {results['n']} utts"
+        )
+        return
     if args.run_mode == "test":
         lm = None
         if args.beam_size > 1 and args.lm_manifest:

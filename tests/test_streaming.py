@@ -172,6 +172,48 @@ def test_streaming_transcriber_matches_offline_greedy():
     assert got == ref
 
 
+@pytest.mark.slow
+def test_run_spiral_streaming_eval_cli(tmp_path):
+    """The product surface: `run_spiral.py --run_mode=test --streaming_eval`
+    on a streaming-mode config decodes the test manifest through the
+    chunk-incremental transcriber."""
+    import json
+    import os
+    import sys
+
+    repo = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    sys.path.insert(0, os.path.join(repo, "cli"))
+    import run_spiral
+
+    from tpu_speech.data.wav import write_wav
+
+    sr = 16000
+    data = tmp_path / "data"
+    data.mkdir()
+    rng = np.random.default_rng(0)
+    entries = []
+    for i in range(3):
+        wav = (rng.standard_normal(int(sr * 0.6)) * 0.1).astype(np.float32)
+        p = str(data / f"utt{i}.wav")
+        write_wav(p, wav, sr)
+        entries.append(
+            {"audio_filepath": p, "duration": 0.6, "text": "hello world"}
+        )
+    with open(data / "manifest.json", "w") as f:
+        for e in entries:
+            f.write(json.dumps(e) + "\n")
+
+    run_spiral.main([
+        "--config_name=spiral_tiny_stream_test",
+        "--manifest_dir", str(data),
+        "--model_save_dir", str(tmp_path / "logs"),
+        "--model_type=ctc_finetune",
+        "--run_mode=test",
+        "--streaming_eval=true",
+        "--resume_if_exists=false",
+    ])
+
+
 def test_streaming_mode_trains():
     """The streaming-mode model is an ordinary offline forward: it must
     init/apply under jit with gradients (train/serve parity trainability)."""

@@ -155,6 +155,16 @@ def momentum_schedule(step, base, final, max_steps, kind: str = "cosine"):
 
 
 def wav_to_spec(cfg: ST2VecConfig, wavs, wav_lens, training=False, rng=None):
+    if getattr(cfg, "streaming", None) is not None:
+        # streaming-mode models train exactly as they serve: causal
+        # cumulative normalization, no utterance-global time-domain
+        # normalization (streaming.py carries these stats across chunks)
+        return filterbank_features(
+            wavs, wav_lens, sample_rate=cfg.sample_rate,
+            nfilt=cfg.num_features, dither=getattr(cfg, "dither", 1e-5),
+            normalize="per_feature_causal", do_normalize_time_domain=False,
+            training=training, rng=rng,
+        )
     return filterbank_features(
         wavs, wav_lens, sample_rate=cfg.sample_rate, nfilt=cfg.num_features,
         dither=getattr(cfg, "dither", 1e-5),

@@ -863,6 +863,50 @@ class SpiralFinetuneRunner:
                 texts[pos] = self.tokenizer.ids_to_text(seq)
         return texts
 
+    def transcribe_streaming(self, audio_paths, feed_seconds: float = 0.5):
+        """Chunk-incremental decode (models/spiral/streaming.py): constant
+        memory and bounded latency regardless of utterance length. Requires
+        a streaming-mode model (encoder.streaming=StreamingCfg(...)) so
+        serving matches training exactly; the reference ships incremental
+        attention unused (multihead_attention.py:15-465)."""
+        from tpu_speech.data.wav import read_wav
+        from tpu_speech.models.spiral.streaming import StreamingTranscriber
+
+        assert self.enc_cfg.streaming is not None, (
+            "transcribe_streaming requires a streaming-mode model "
+            "(set encoder.streaming=StreamingCfg(...) in the config)"
+        )
+        sr = self.cfg.model.train_ds.sample_rate
+        tr = StreamingTranscriber(self.model, self.state.params, batch=1)
+        feed = max(1, int(feed_seconds * sr))
+        texts = []
+        for path in audio_paths:
+            wav, wav_sr = read_wav(path)
+            assert wav_sr == sr, (path, wav_sr)
+            tr.reset()
+            for i in range(0, len(wav), feed):
+                tr.feed(wav[None, i:i + feed])
+            texts.append(self.tokenizer.ids_to_text(tr.flush()[0]))
+        return texts
+
+    def evaluate_streaming(self, manifest: Optional[str] = None,
+                           feed_seconds: float = 0.5):
+        """Test-mode WER decoded through the streaming transcriber — the
+        honest deployment metric for a streaming model (every utterance is
+        processed chunk-by-chunk with carried caches, not as one window)."""
+        from tpu_speech.data.spiral import read_manifest
+
+        manifest = manifest or self.cfg.model.test_ds.manifest_filepath
+        entries = read_manifest(manifest, 0.0, None)
+        paths = [e["audio_filepath"] for e in entries]
+        refs = [e["text"] for e in entries]
+        hyps = self.transcribe_streaming(paths, feed_seconds=feed_seconds)
+        from tpu_speech.eval.wer import word_error_rate
+
+        wer = word_error_rate(hyps, refs)
+        cer = word_error_rate(hyps, refs, use_cer=True)
+        return {"wer": wer, "cer": cer, "n": len(refs)}
+
     def _chunked_log_probs(self, wav: np.ndarray, overlap_s: float
                            ) -> np.ndarray:
         """Run overlapping full-width windows over one long wav and stitch
