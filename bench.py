@@ -25,6 +25,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent executable cache: compiles are not timed, but caching them keeps
+# a full --all sweep (10 subprocesses) from re-compiling identical graphs
+jax.config.update("jax_compilation_cache_dir", "/tmp/tpu_speech_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 sys.path.insert(0, ".")
 
 from tpu_speech.models.grad_tts import GradTTS, synthesize  # noqa: E402
