@@ -298,6 +298,7 @@ def test_two_process_eval_matches_single(tmp_path):
         assert ser_m == pytest.approx(ser_s, abs=1e-9)
 
 
+@pytest.mark.slow  # big SPMD-partitioned compiles; also driver-dryrun-covered
 def test_tensor_parallel_placement_matches_dp():
     """shard_params_tp on the 2-D (data, model) mesh is a pure placement
     change: one train step must produce the same loss as the replicated-param
@@ -397,6 +398,7 @@ def test_sequence_parallel_matches_dp():
     assert abs(losses[2] - losses[0]) < 1e-4, losses
 
 
+@pytest.mark.slow  # big SPMD-partitioned compiles; also driver-dryrun-covered
 def test_fsdp_sharding_matches_dp():
     """ZeRO-3-style state sharding (parallel.mesh.fsdp_shardings) is a pure
     placement change: the SPIRAL pretrain step yields the same loss as

@@ -152,8 +152,9 @@ def tiny_gradtts():
     xl = jnp.array([4], dtype=jnp.int32)
     y = jax.random.normal(jax.random.PRNGKey(0), (1, 24, 8))
     yl = jnp.array([24], dtype=jnp.int32)
-    params = model.init(jax.random.PRNGKey(0), x, xl, y, yl,
-                        jax.random.PRNGKey(1), train=False)
+    params = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), x, xl, y, yl,
+        jax.random.PRNGKey(1), train=False)
     return model, params, x, xl
 
 
@@ -186,6 +187,7 @@ def test_gradtts_dpm_rejects_stoc(tiny_gradtts):
         synthesize(model, params, x, xl, 6, 32, stoc=True, solver="dpm")
 
 
+@pytest.mark.slow  # three full sampler compiles incl. a 400-step limit run
 def test_diffvc_dpm_matches_pf_limit():
     from tpu_speech.models.diffvc.vc import DiffVC, voice_convert
 

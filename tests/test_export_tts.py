@@ -47,7 +47,13 @@ def _tiny_models():
     return model, params, voc, vparams
 
 
-@pytest.mark.parametrize("with_vocoder", [True, False])
+@pytest.mark.parametrize(
+    "with_vocoder",
+    # the vocoder variant serializes/recompiles the full e2e graph (~70 s on
+    # this 1-core box) — slow tier; the mel-only roundtrip covers the export
+    # machinery in the quick tier
+    [pytest.param(True, marks=pytest.mark.slow), False],
+)
 def test_export_tts_roundtrip(tmp_path, with_vocoder):
     from export_tts import build_serving_fn
 

@@ -115,6 +115,7 @@ def test_speaker_verification_sampler(tmp_path, rng):
     assert not np.array_equal(batch, batch2)
 
 
+@pytest.mark.slow  # full train loop with checkpoint save + resume
 def test_train_speaker_encoder_loop(tmp_path, rng):
     """End-to-end GE2E loop (reference encoder/train.py): loss/EER logging,
     projection image, checkpoint save + resume."""

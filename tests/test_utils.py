@@ -53,6 +53,40 @@ def test_typecheck():
         g(jnp.zeros((1, 4, 81)))
 
 
+def test_typecheck_element_lattice():
+    """Element-type tags (the reference's neural_types/elements.py lattice,
+    collapsed to the semantic groups the repo's ports use) enforce dtype
+    kind at call time and answer NeMo-style compatibility queries."""
+    from tpu_speech.utils.typing_contracts import Compat, compare
+
+    @typecheck(y="B T F @mel", labels="B L @labels")
+    def f(y, labels):
+        return y
+
+    f(jnp.zeros((2, 5, 8)), jnp.zeros((2, 3), jnp.int32))
+    f(jnp.zeros((2, 5, 8), jnp.bfloat16), jnp.zeros((2, 3), jnp.int32))
+    with pytest.raises(TypecheckError):  # float labels: wrong dtype kind
+        f(jnp.zeros((2, 5, 8)), jnp.zeros((2, 3), jnp.float32))
+    with pytest.raises(TypecheckError):  # integer mel: wrong dtype kind
+        f(jnp.zeros((2, 5, 8), jnp.int32), jnp.zeros((2, 3), jnp.int32))
+
+    @typecheck(x="B T @nosuch")
+    def g(x):
+        return x
+
+    with pytest.raises(TypecheckError):  # unknown element type
+        g(jnp.zeros((2, 5)))
+
+    # lattice comparisons (neural_type.py:72-106 comparison semantics)
+    assert compare("mel", "mel") is Compat.SAME
+    assert compare("mel", "spec") is Compat.LESS       # mel is-a spectrogram
+    assert compare("spec", "mel") is Compat.GREATER
+    assert compare("logprobs", "logits") is Compat.LESS
+    assert compare("mel", "labels") is Compat.INCOMPATIBLE
+    with pytest.raises(TypecheckError):
+        compare("mel", "nosuch")
+
+
 def test_typecheck_on_model_facades():
     """Port contracts are live on the model layer (the reference's
     NeuralType checks on every module, common.py / losses/ctc.py:33-49)."""

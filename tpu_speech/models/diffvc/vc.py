@@ -56,7 +56,8 @@ class DiffVC(nn.Module):
     def score(self, xt, x_mask, mean, xt_ref, ref_mask, c, t):
         return self.estimator(xt, x_mask, mean, xt_ref, ref_mask, c, t)
 
-    @typecheck(x="B T F", x_lengths="B", x_ref="B T F", c="B C")
+    @typecheck(x="B T F @mel", x_lengths="B @lengths", x_ref="B T F @mel",
+               c="B C @embedding")
     def __call__(self, x, x_lengths, x_ref, c, rng, train: bool = True):
         """Decoder (score-matching) loss; encoder frozen (vc.py:129-144).
         x, x_ref: (B, T, F) source/reference crops of the same utterance."""

@@ -83,7 +83,7 @@ class GradTTS(nn.Module):
             return self.spk_emb(spk)
         return None
 
-    @typecheck(x="B Tx", x_lengths="B")
+    @typecheck(x="B Tx @tokens", x_lengths="B @lengths")
     def encode(self, x, x_lengths, spk=None, train: bool = False):
         """Text ids -> (mu_x (B,Tx,F), logw (B,Tx), x_mask (B,Tx))."""
         return self.encoder(x, x_lengths, self._spk_vec(spk), train=train)
@@ -92,7 +92,8 @@ class GradTTS(nn.Module):
         """Noise estimator eval (one reverse-SDE step's network call)."""
         return self.estimator(xt, mask, mu, t, self._spk_vec(spk))
 
-    @typecheck(x="B Tx", x_lengths="B", y="B Ty F", y_lengths="B", spk="B")
+    @typecheck(x="B Tx @tokens", x_lengths="B @lengths", y="B Ty F @mel",
+               y_lengths="B @lengths", spk="B")
     def __call__(self, x, x_lengths, y, y_lengths, rng, spk=None,
                  out_size: Optional[int] = None, train: bool = True):
         """Training loss. Returns (dur_loss, prior_loss, diff_loss).

@@ -59,7 +59,7 @@ class ConvASRDecoder(nn.Module):
         return self.num_classes
 
     @nn.compact
-    @typecheck(x="B T C", lens="B")
+    @typecheck(x="B T C @embedding", lens="B @lengths")
     def __call__(self, x, lens, train: bool = False):
         if self.upsample_rate is not None:
             x, lens = ProjUpsampling(
@@ -119,7 +119,7 @@ class CTCFinetuneModel(nn.Module):
             causal=self.encoder_cfg.streaming is not None,
         )
 
-    @typecheck(specs="B T F", spec_lens="B")
+    @typecheck(specs="B T F @spec", spec_lens="B @lengths")
     def __call__(self, specs, spec_lens, train: bool = False,
                  freeze_encoder: bool = False):
         feats, feat_lens = self.encoder.encode_features(
@@ -130,7 +130,8 @@ class CTCFinetuneModel(nn.Module):
         return self.decoder(feats, feat_lens, train=train)
 
 
-@typecheck(log_probs="B T K", logit_lens="B", labels="B L", label_lens="B")
+@typecheck(log_probs="B T K @logprobs", logit_lens="B @lengths",
+           labels="B L @labels", label_lens="B @lengths")
 def ctc_loss(log_probs, logit_lens, labels, label_lens, blank_idx: int):
     """Mean-over-batch CTC loss (losses/ctc.py:31-131 semantics)."""
     b, t, _ = log_probs.shape

@@ -108,20 +108,20 @@ class ST2VecEncoder(nn.Module):
             output_dim=self.cfg.projector_dim,
         )
 
-    @typecheck(specs="B T F", spec_lens="B")
+    @typecheck(specs="B T F @spec", spec_lens="B @lengths")
     def encode_student(self, specs, spec_lens, train: bool = False):
         feats, feat_lens = self.feature_encoder(specs, spec_lens, train=train)
         proj = self.projector(feats, feat_lens, train=train)
         pred = self.predictor(proj, feat_lens, train=train)
         return pred, feat_lens
 
-    @typecheck(specs="B T F", spec_lens="B")
+    @typecheck(specs="B T F @spec", spec_lens="B @lengths")
     def encode_teacher(self, specs, spec_lens, train: bool = False):
         feats, feat_lens = self.feature_encoder(specs, spec_lens, train=train)
         proj = self.projector(feats, feat_lens, train=train)
         return proj, feat_lens
 
-    @typecheck(specs="B T F", spec_lens="B")
+    @typecheck(specs="B T F @spec", spec_lens="B @lengths")
     def encode_features(self, specs, spec_lens, train: bool = False):
         """features_only path (CTC finetune): encoder output, no projector."""
         return self.feature_encoder(specs, spec_lens, train=train)
