@@ -16,18 +16,60 @@ def str2bool(v):
     return str(v).lower() in ("true", "1", "yes")
 
 
-def main(argv=None):
+def get_ckpt_path(ckpt_dir, ckpt_name):
+    """Resolve a checkpoint name inside a dir; a '*' glob must match exactly
+    one path (reference run_spiral.py:137-145)."""
+    import glob
+
+    path = os.path.join(ckpt_dir, ckpt_name)
+    if "*" not in path:
+        return path
+    matches = glob.glob(path)
+    if len(matches) != 1:
+        raise ValueError(f"expect 1 ckpt file, but got {len(matches)}")
+    return matches[0]
+
+
+def build_parser():
     parser = argparse.ArgumentParser(
         description="Run training",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
     parser.add_argument("--data_dir", type=str, default="", help="Dataset Path")
     parser.add_argument("--manifest_dir", type=str, default="")
-    parser.add_argument("--model_save_dir", type=str, default="logs/spiral")
+    parser.add_argument("--model_save_dir", type=str, default="",
+                        help="model save dir (falls back to --log_dir, "
+                        "then logs/spiral)")
+    parser.add_argument("--tensorboard_dir", type=str, default="",
+                        help="tensorboard dir (reference run_spiral.py:31); "
+                        "default: inside the run dir")
+    parser.add_argument("--log_dir", type=str, default="",
+                        help="log dir (reference run_spiral.py:32); used as "
+                        "the run dir when --model_save_dir is unset")
+    parser.add_argument("--chkpt_dir", type=str, default="",
+                        help="checkpoint dir (reference run_spiral.py:33); "
+                        "default: <run dir>/ckpt")
     parser.add_argument("--config_path", type=str, default="conf/spiral")
     parser.add_argument("--config_name", type=str, required=True)
+    parser.add_argument("--structured_config", type=str2bool, default=True,
+                        help="true: python dataclass experiment module "
+                        "(reference run_spiral.py:62-109); false: YAML "
+                        "experiment file (the legacy hydra path analog, "
+                        ":113-131)")
     parser.add_argument("--num_devices", type=int, default=0,
                         help="devices to use (0 = all; single-host only)")
+    parser.add_argument("--num_gpus", type=int, default=0,
+                        help="reference alias of --num_devices "
+                        "(run_spiral.py:36: device count, nothing "
+                        "GPU-specific here)")
+    parser.add_argument("--use_horovod", type=str2bool, default=False,
+                        help="accepted for launch-script parity "
+                        "(run_spiral.py:38); XLA collectives are the only "
+                        "backend, so this warns and is otherwise a no-op "
+                        "(SURVEY.md §2.5)")
+    parser.add_argument("--test_mode", type=str, default="multi_gpu",
+                        help="accepted for parity; the reference parses "
+                        "this and never consumes it (run_spiral.py:42)")
     parser.add_argument("--seq_parallel", type=int, default=0,
                         help="shard the time axis of activations over a "
                         "'seq' mesh axis of this size (long-crop memory "
@@ -49,7 +91,23 @@ def main(argv=None):
     parser.add_argument("--run_mode", type=str, default="train",
                         choices=["train", "test"])
     parser.add_argument("--init_chkpt_dir", type=str, default="")
-    parser.add_argument("--init_chkpt_file", type=str, default="")
+    parser.add_argument("--init_chkpt_file", type=str, default="",
+                        help="checkpoint name within --init_chkpt_dir; a "
+                        "'*' glob must match exactly one path (reference "
+                        "get_ckpt_path, run_spiral.py:137-145)")
+    parser.add_argument("--init_model_partial", type=str2bool, default=False,
+                        help="allow a PARTIAL weight load from the init "
+                        "checkpoint/archive: matching names+shapes load, "
+                        "the rest keep their fresh init (reference "
+                        "run_spiral.py:45; strict load otherwise)")
+    parser.add_argument("--use_chkpt_hparams", type=str2bool, default=False,
+                        help="take cfg.model from the --init_archive's "
+                        "embedded config instead of the experiment file "
+                        "(reference run_spiral.py:46)")
+    parser.add_argument("--load_model_skip_var", type=str, default="",
+                        help="comma-separated substrings; matching variables "
+                        "are NOT loaded from the init checkpoint/archive "
+                        "(reference run_spiral.py:47)")
     parser.add_argument("--init_archive", type=str, default="",
                         help="restore weights from a self-contained "
                         ".tpu_speech archive written at train end (the "
@@ -93,8 +151,29 @@ def main(argv=None):
                         "--set model.optim.lr=1e-3 (repeatable; the "
                         "reference's hydra overrides_str, run_spiral.py:127; "
                         "unknown keys are struct-mode errors)")
-    args = parser.parse_args(args=argv)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(args=argv)
     print(f"training args: {args}")
+
+    if args.use_horovod:
+        print(
+            "WARNING: --use_horovod requested; XLA collectives are the only "
+            "distributed backend on TPU (SURVEY.md §2.5) — flag accepted "
+            "for launch-script parity, lr scaling is handled by "
+            "expected_gpu_num rescaling in the runner.",
+            file=sys.stderr,
+        )
+    if args.num_gpus and not args.num_devices:
+        args.num_devices = args.num_gpus
+    if not args.model_save_dir:
+        args.model_save_dir = args.log_dir or "logs/spiral"
+
+    from tpu_speech.utils.surgery import parse_skip_vars
+
+    skip_vars = parse_skip_vars(args.load_model_skip_var)
 
     # Multi-host bootstrap BEFORE any mesh/device use: federate processes into
     # one global device view (the reference's MASTER_ADDR/NODE_RANK DDP
@@ -135,6 +214,15 @@ def main(argv=None):
             args.config_name if os.path.isfile(args.config_name)
             else os.path.join(args.config_path, args.config_name)
         )
+    elif not args.structured_config:
+        # reference --structured_config=false = the YAML config path
+        # (run_spiral.py:113-131); the name must resolve to a YAML file
+        cand = os.path.join(args.config_path, args.config_name + ".yaml")
+        if not os.path.isfile(cand):
+            raise SystemExit(
+                f"--structured_config=false but no YAML config at {cand}"
+            )
+        yaml_path = cand
     else:
         cand = os.path.join(args.config_path, args.config_name + ".yaml")
         if os.path.isfile(cand):
@@ -149,6 +237,35 @@ def main(argv=None):
     for spec in args.overrides:
         key, value = parse_cli_override(spec)
         apply_override(cfg, key, value)
+
+    if args.use_chkpt_hparams:
+        # rebuild cfg.model from the archive's embedded config (the
+        # reference loads hparams out of the checkpoint, run_spiral.py:46);
+        # dataset paths are still rewired from the CLI below
+        if not args.init_archive:
+            raise SystemExit("--use_chkpt_hparams requires --init_archive")
+        import tarfile as _tarfile
+        import json as _json
+
+        from tpu_speech.utils.archive import config_object
+
+        with _tarfile.open(args.init_archive, "r") as tar:
+            arch_cfg = _json.loads(
+                tar.extractfile("config.json").read().decode("utf-8")
+            )
+        restored = config_object(arch_cfg)
+        model_cfg = (
+            restored.get("model") if isinstance(restored, dict)
+            else getattr(restored, "model", None)
+        )
+        if model_cfg is None or isinstance(model_cfg, dict):
+            raise SystemExit(
+                "--use_chkpt_hparams: archive config has no reconstructable "
+                "model section"
+            )
+        cfg.model = model_cfg
+        print("model hparams taken from archive config "
+              f"({args.init_archive})")
 
     manifest_dir = args.manifest_dir or args.data_dir
     for ds in (cfg.model.train_ds, cfg.model.validation_ds, cfg.model.test_ds):
@@ -187,6 +304,7 @@ def main(argv=None):
             name=cfg.exp_manager.name or args.config_name,
             explicit_log_dir=log_dir,
             resume_if_exists=args.resume_if_exists,
+            tensorboard_dir=args.tensorboard_dir or None,
         )
         exp.save_config(cfg)
         log_dir = exp.log_dir
@@ -194,9 +312,14 @@ def main(argv=None):
     if args.model_type in ("spiral", "st2vec"):
         from tpu_speech.train.spiral_runner import SpiralPretrainRunner
 
-        runner = SpiralPretrainRunner(cfg, log_dir, exp=exp)
+        runner = SpiralPretrainRunner(
+            cfg, log_dir, exp=exp, ckpt_dir=args.chkpt_dir
+        )
         if args.init_archive:
-            runner.restore_from_archive(args.init_archive)
+            runner.restore_from_archive(
+                args.init_archive, partial=args.init_model_partial,
+                skip=skip_vars,
+            )
             print(f"Restored weights from archive: {args.init_archive}")
         if args.resume_if_exists and runner.resume_if_exists():
             print(f"Resumed from iteration {runner.iteration}")
@@ -233,15 +356,37 @@ def main(argv=None):
 
     if args.run_mode == "train" and not args.finetune_from_scratch:
         if args.init_chkpt_dir and args.init_chkpt_file:
-            cfg.model.pretrain_chkpt_path = os.path.join(
+            cfg.model.pretrain_chkpt_path = get_ckpt_path(
                 args.init_chkpt_dir, args.init_chkpt_file
             )
     cfg.model.use_teacher_encoder = args.use_teacher_encoder
 
-    runner = SpiralFinetuneRunner(cfg, log_dir, tokenizer, exp=exp)
+    runner = SpiralFinetuneRunner(
+        cfg, log_dir, tokenizer, exp=exp, ckpt_dir=args.chkpt_dir
+    )
     if args.init_archive:
-        runner.restore_from_archive(args.init_archive)
+        runner.restore_from_archive(
+            args.init_archive, partial=args.init_model_partial,
+            skip=skip_vars,
+        )
         print(f"Restored weights from archive: {args.init_archive}")
+    if (args.run_mode == "test" and args.init_chkpt_dir
+            and args.init_chkpt_file):
+        # reference test mode loads the FULL model state from the named
+        # checkpoint (spiral_pretrain.py:117-121, strict unless
+        # --init_model_partial); '*' glob must match exactly one path
+        path = get_ckpt_path(args.init_chkpt_dir, args.init_chkpt_file)
+        if path.endswith(".tpu_speech"):
+            runner.restore_from_archive(
+                path, partial=args.init_model_partial, skip=skip_vars
+            )
+        else:
+            runner.restore_from_checkpoint(
+                path, partial=args.init_model_partial, skip=skip_vars
+            )
+        print(f"Loaded test-mode weights from: {path}")
+        # explicit test weights take priority over local resume state
+        args.resume_if_exists = False
     if args.resume_if_exists and runner.resume_if_exists():
         print(f"Resumed from iteration {runner.iteration}")
 

@@ -73,15 +73,29 @@ class WordTokenizer:
 class SubwordTokenizer:
     """Unigram/BPE-style subword tokenizer.
 
-    With sentencepiece installed, wraps a .model file; otherwise loads a
-    vocab list (one piece per line, optionally 'piece\\tscore') and encodes
-    via greedy longest-match over '▁'-prefixed word pieces.
+    With sentencepiece installed, wraps a .model file (the reference's
+    SentencePieceTokenizer, common/tokenizers/sentencepiece_tokenizer.py:34).
+    Otherwise loads a vocab list — one piece per line, optionally
+    'piece\\tscore' (the SentencePiece ``.vocab`` export format, scores are
+    unigram log-probs) — and encodes offline:
+
+    - scored vocab: **unigram Viterbi** — per whitespace word, maximize the
+      sum of piece log-probs over segmentations of '▁'+word, with the SPM
+      unknown-character model (score = min_score - 10.0 per char,
+      consecutive unknowns fused into one <unk>). This reproduces real
+      SentencePiece unigram segmentation (unigram_model.cc Viterbi;
+      verified against the HuggingFace ``tokenizers`` Unigram oracle in
+      tests/test_tokenizers.py).
+    - unscored vocab: greedy longest-match (legacy fallback; only correct
+      for vocabularies designed for greedy use).
     """
 
     WORD_BOUNDARY = "▁"  # ▁
+    UNK_PENALTY = 10.0  # sentencepiece kUnkPenalty, unigram_model.cc
 
     def __init__(self, model_or_vocab_path: str):
         self._sp = None
+        self.scores: Optional[List[float]] = None
         if model_or_vocab_path.endswith(".model"):
             try:
                 import sentencepiece as spm
@@ -96,37 +110,102 @@ class SubwordTokenizer:
                     "sentencepiece not available; provide a vocab file instead"
                 ) from e
         else:
+            self.pieces = []
+            scores: List[float] = []
+            has_scores = False
             with open(model_or_vocab_path, encoding="utf-8") as f:
-                self.pieces = [
-                    line.rstrip("\n").split("\t")[0] for line in f if line.strip()
-                ]
+                for line in f:
+                    if not line.strip():
+                        continue
+                    parts = line.rstrip("\n").split("\t")
+                    self.pieces.append(parts[0])
+                    if len(parts) > 1:
+                        has_scores = True
+                        scores.append(float(parts[1]))
+                    else:
+                        scores.append(0.0)
+            if has_scores:
+                self.scores = scores
         self._map = {p: i for i, p in enumerate(self.pieces)}
         self._max_len = max(len(p) for p in self.pieces)
         self.unk_id = self._map.get("<unk>", 0)
+        # control symbols (<unk>/<s>/</s>/<mask>...) never match text; SPM
+        # excludes them from the matching trie
+        self._match_map = {
+            p: i for p, i in self._map.items()
+            if not (p.startswith("<") and p.endswith(">"))
+        }
 
     @property
     def vocab_size(self) -> int:
         return len(self.pieces)
 
+    def _viterbi_word(self, chunk: str) -> List[int]:
+        """Best-path unigram segmentation of one '▁'-prefixed word."""
+        assert self.scores is not None
+        n = len(chunk)
+        neg = float("-inf")
+        # per-char unknown score; real pieces always beat unk spans of the
+        # same surface because min_score - 10.0 < any piece score
+        unk_score = min(self.scores) - self.UNK_PENALTY
+        best = [neg] * (n + 1)
+        best[0] = 0.0
+        back: List[Optional[tuple]] = [None] * (n + 1)
+        for i in range(n):
+            if best[i] == neg:
+                continue
+            hi = min(self._max_len, n - i)
+            for ln in range(1, hi + 1):
+                pid = self._match_map.get(chunk[i:i + ln])
+                if pid is None:
+                    continue
+                s = best[i] + self.scores[pid]
+                if s > best[i + ln]:
+                    best[i + ln] = s
+                    back[i + ln] = (i, pid)
+            s = best[i] + unk_score
+            if s > best[i + 1]:
+                best[i + 1] = s
+                back[i + 1] = (i, self.unk_id)
+        ids: List[int] = []
+        pos = n
+        while pos > 0:
+            start, pid = back[pos]  # type: ignore[misc]
+            ids.append(pid)
+            pos = start
+        ids.reverse()
+        # fuse consecutive unknown chars into ONE <unk> (SPM id output)
+        fused: List[int] = []
+        for pid in ids:
+            if pid == self.unk_id and fused and fused[-1] == self.unk_id:
+                continue
+            fused.append(pid)
+        return fused
+
+    def _greedy_word(self, chunk: str) -> List[int]:
+        ids: List[int] = []
+        i = 0
+        while i < len(chunk):
+            match: Optional[int] = None
+            for ln in range(min(self._max_len, len(chunk) - i), 0, -1):
+                piece = chunk[i : i + ln]
+                if piece in self._match_map:
+                    match = self._match_map[piece]
+                    i += ln
+                    break
+            if match is None:
+                match = self.unk_id
+                i += 1
+            ids.append(match)
+        return ids
+
     def text_to_ids(self, text: str) -> List[int]:
         if self._sp is not None:
             return list(self._sp.EncodeAsIds(text))
+        segment = self._viterbi_word if self.scores else self._greedy_word
         ids: List[int] = []
         for word in text.strip().split():
-            chunk = self.WORD_BOUNDARY + word
-            i = 0
-            while i < len(chunk):
-                match: Optional[int] = None
-                for ln in range(min(self._max_len, len(chunk) - i), 0, -1):
-                    piece = chunk[i : i + ln]
-                    if piece in self._map:
-                        match = self._map[piece]
-                        i += ln
-                        break
-                if match is None:
-                    match = self.unk_id
-                    i += 1
-                ids.append(match)
+            ids.extend(segment(self.WORD_BOUNDARY + word))
         return ids
 
     def ids_to_text(self, ids: Sequence[int]) -> str:

@@ -77,6 +77,14 @@ def _spec_len(crop_size: int, sample_rate: int) -> int:
 
 
 
+
+def _raw_checkpoint_tree(path: str):
+    """Read an orbax checkpoint written by Checkpointer as a raw pytree
+    (no target): the input to surgery-aware full-model restores."""
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer().restore(os.path.abspath(path))
+
 def _save_run_archive(log_dir: str, name: str, cfg, params,
                       extra=None) -> str:
     """Write the `.nemo`-analog archive at train end (NeMoModelCheckpoint's
@@ -89,7 +97,7 @@ def _save_run_archive(log_dir: str, name: str, cfg, params,
 
 
 class SpiralPretrainRunner:
-    def __init__(self, cfg, log_dir: str, exp=None):
+    def __init__(self, cfg, log_dir: str, exp=None, ckpt_dir: str = ""):
         self.cfg = cfg
         m = cfg.model
         self.enc_cfg = m.encoder
@@ -209,7 +217,9 @@ class SpiralPretrainRunner:
             mesh=self.mesh,
             state_shardings=state_shardings,
         )
-        self.ckpt = Checkpointer(os.path.join(log_dir, "ckpt"))
+        # --chkpt_dir (reference run_spiral.py:33) relocates checkpoints
+        # away from the log dir when set
+        self.ckpt = Checkpointer(ckpt_dir or os.path.join(log_dir, "ckpt"))
         self.tb = None
         if self.primary:
             if exp is not None:
@@ -253,19 +263,57 @@ class SpiralPretrainRunner:
                    "batch_stats": state.batch_stats},
         )
 
-    def restore_from_archive(self, path: str) -> None:
+    def restore_from_archive(self, path: str, partial: bool = False,
+                             skip: tuple = ()) -> None:
         """Load a ``.tpu_speech`` archive's weights into the live state (the
         reference's ModelPT.restore_from workflow, modelPT.py:~900-1268):
         params + EMA teacher + batch_stats; step/optimizer state start
-        fresh. Shape mismatches fail loudly via the typed deserialization."""
+        fresh. ``partial``/``skip`` implement the reference launcher's
+        --init_model_partial / --load_model_skip_var surgery
+        (run_spiral.py:45-47) via utils/surgery.merge_params; a strict load
+        (default) fails loudly on any missing leaf or shape mismatch."""
         from tpu_speech.utils.archive import load_archive
+        from tpu_speech.utils.surgery import merge_params
 
         host = jax.device_get(self.state)
-        _, params, extra = load_archive(path, params_target=host.params)
+        _, raw_params, extra = load_archive(path)
+        params, report = merge_params(
+            host.params, raw_params, partial=partial, skip=skip
+        )
+        if self.primary:
+            print(f"archive restore: {report.summary()}")
         state = host.replace(
             params=params,
             teacher=extra.get("teacher", host.teacher),
             batch_stats=extra.get("batch_stats", host.batch_stats),
+        )
+        if self._state_shardings is not None:
+            self.state = jax.tree.map(
+                jax.device_put, state, self._state_shardings
+            )
+        else:
+            self.state = replicate(self.mesh, state)
+
+    def restore_from_checkpoint(self, path: str, partial: bool = False,
+                                skip: tuple = ()) -> None:
+        """Initialize the FULL training-state weights from a saved step
+        checkpoint (the reference test-mode load: spiral_pretrain.py:117-121
+        -> ModelPT.load_state_from_checkpoint, modelPT.py:605-631). Loads
+        params (+teacher/batch_stats when present); step and optimizer state
+        start fresh. ``partial``/``skip`` per utils/surgery.merge_params."""
+        from tpu_speech.utils.surgery import merge_params
+
+        raw = _raw_checkpoint_tree(path)
+        host = jax.device_get(self.state)
+        params, report = merge_params(
+            host.params, raw.get("params", raw), partial=partial, skip=skip
+        )
+        if self.primary:
+            print(f"checkpoint restore: {report.summary()}")
+        state = host.replace(
+            params=params,
+            teacher=raw.get("teacher", host.teacher),
+            batch_stats=raw.get("batch_stats", host.batch_stats),
         )
         if self._state_shardings is not None:
             self.state = jax.tree.map(
@@ -476,7 +524,8 @@ class SpiralPretrainRunner:
 
 
 class SpiralFinetuneRunner:
-    def __init__(self, cfg, log_dir: str, tokenizer, exp=None):
+    def __init__(self, cfg, log_dir: str, tokenizer, exp=None,
+                 ckpt_dir: str = ""):
         self.cfg = cfg
         m = cfg.model
         self.enc_cfg = m.encoder
@@ -657,7 +706,9 @@ class SpiralFinetuneRunner:
             mesh=self.mesh,
             state_shardings=state_shardings,
         )
-        self.ckpt = Checkpointer(os.path.join(log_dir, "ckpt"))
+        # --chkpt_dir (reference run_spiral.py:33) relocates checkpoints
+        # away from the log dir when set
+        self.ckpt = Checkpointer(ckpt_dir or os.path.join(log_dir, "ckpt"))
         self.tb = None
         if self.primary:
             if exp is not None:
@@ -717,17 +768,51 @@ class SpiralFinetuneRunner:
             state.params, extra={"batch_stats": state.batch_stats},
         )
 
-    def restore_from_archive(self, path: str) -> None:
+    def restore_from_archive(self, path: str, partial: bool = False,
+                             skip: tuple = ()) -> None:
         """Load a ``.tpu_speech`` archive's weights (params + batch_stats)
         into the live state — serve/test from one shipped file (the
-        reference's restore_from, modelPT.py:~900-1268)."""
+        reference's restore_from, modelPT.py:~900-1268). ``partial``/``skip``
+        implement --init_model_partial / --load_model_skip_var
+        (reference run_spiral.py:45-47) via utils/surgery.merge_params."""
         from tpu_speech.utils.archive import load_archive
+        from tpu_speech.utils.surgery import merge_params
 
         host = jax.device_get(self.state)
-        _, params, extra = load_archive(path, params_target=host.params)
+        _, raw_params, extra = load_archive(path)
+        params, report = merge_params(
+            host.params, raw_params, partial=partial, skip=skip
+        )
+        if self.primary:
+            print(f"archive restore: {report.summary()}")
         state = host.replace(
             params=params,
             batch_stats=extra.get("batch_stats", host.batch_stats),
+        )
+        if self._state_shardings is not None:
+            self.state = jax.tree.map(
+                jax.device_put, state, self._state_shardings
+            )
+        else:
+            self.state = replicate(self.mesh, state)
+
+    def restore_from_checkpoint(self, path: str, partial: bool = False,
+                                skip: tuple = ()) -> None:
+        """Full-model weight init from a saved step checkpoint (the
+        reference test-mode load, spiral_pretrain.py:117-121 with
+        strict=not partial; skip per --load_model_skip_var)."""
+        from tpu_speech.utils.surgery import merge_params
+
+        raw = _raw_checkpoint_tree(path)
+        host = jax.device_get(self.state)
+        params, report = merge_params(
+            host.params, raw.get("params", raw), partial=partial, skip=skip
+        )
+        if self.primary:
+            print(f"checkpoint restore: {report.summary()}")
+        state = host.replace(
+            params=params,
+            batch_stats=raw.get("batch_stats", host.batch_stats),
         )
         if self._state_shardings is not None:
             self.state = jax.tree.map(

@@ -14,22 +14,59 @@ import json
 import os
 import tarfile
 import time
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Sequence, Tuple
 
 import flax.serialization
 import jax
 
 
-def _cfg_to_json(cfg: Any) -> str:
-    def enc(o):
-        if dataclasses.is_dataclass(o):
-            return {
-                "__dataclass__": type(o).__module__ + "." + type(o).__qualname__,
-                **dataclasses.asdict(o),
-            }
-        return str(o)
+def _to_jsonable(o: Any) -> Any:
+    """Recursively encode a config tree, tagging EVERY dataclass level with
+    its import path so ``config_object`` can rebuild the exact dataclass
+    composition (the reference round-trips hparams the same way through the
+    .nemo archive's config.yaml, modelPT.py:~900-1268)."""
+    if dataclasses.is_dataclass(o) and not isinstance(o, type):
+        d: Dict[str, Any] = {
+            "__dataclass__": type(o).__module__ + "." + type(o).__qualname__
+        }
+        for f in dataclasses.fields(o):
+            d[f.name] = _to_jsonable(getattr(o, f.name))
+        return d
+    if isinstance(o, (list, tuple)):
+        return [_to_jsonable(x) for x in o]
+    if isinstance(o, dict):
+        return {str(k): _to_jsonable(v) for k, v in o.items()}
+    if isinstance(o, (str, int, float, bool)) or o is None:
+        return o
+    return str(o)
 
-    return json.dumps(cfg, indent=2, default=enc)
+
+def _cfg_to_json(cfg: Any) -> str:
+    return json.dumps(_to_jsonable(cfg), indent=2)
+
+
+def config_object(config: Any) -> Any:
+    """Inverse of ``_to_jsonable``: rebuild the dataclass config tree from an
+    archive's config.json dict (the ``--use_chkpt_hparams`` load path)."""
+    if isinstance(config, dict):
+        target = config.get("__dataclass__")
+        kwargs = {
+            k: config_object(v) for k, v in config.items()
+            if k != "__dataclass__"
+        }
+        if target is None:
+            return kwargs
+        import importlib
+
+        module, _, qualname = target.rpartition(".")
+        cls = importlib.import_module(module)
+        for part in qualname.split("."):
+            cls = getattr(cls, part)
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in kwargs.items() if k in fields})
+    if isinstance(config, list):
+        return [config_object(v) for v in config]
+    return config
 
 
 def save_archive(path: str, config: Any, params: Any,

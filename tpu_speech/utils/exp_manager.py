@@ -31,6 +31,7 @@ class ExpManager:
         base_dir: str = "experiments",
         explicit_log_dir: Optional[str] = None,
         resume_if_exists: bool = True,
+        tensorboard_dir: Optional[str] = None,
     ):
         if explicit_log_dir:
             self.log_dir = explicit_log_dir
@@ -47,7 +48,9 @@ class ExpManager:
         try:
             from tensorboardX import SummaryWriter
 
-            self.tb = SummaryWriter(self.log_dir)
+            # --tensorboard_dir (reference run_spiral.py:31) splits TB events
+            # away from the run dir when set
+            self.tb = SummaryWriter(tensorboard_dir or self.log_dir)
         except Exception:
             self.tb = None
 
