@@ -83,6 +83,11 @@ def test_typecheck_element_lattice():
     assert compare("spec", "mel") is Compat.GREATER
     assert compare("logprobs", "logits") is Compat.LESS
     assert compare("mel", "labels") is Compat.INCOMPATIBLE
+    # spectrograms are NOT audio subtypes (SpectrogramType subclasses
+    # ChannelType, not AudioSignal — reference elements.py:180-204): a mel
+    # port must not be pluggable into a raw-waveform port
+    assert compare("mel", "audio") is Compat.INCOMPATIBLE
+    assert compare("spec", "audio") is Compat.INCOMPATIBLE
     with pytest.raises(TypecheckError):
         compare("mel", "nosuch")
 

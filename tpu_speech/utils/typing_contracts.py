@@ -41,7 +41,11 @@ class TypecheckError(TypeError):
 ELEMENT_LATTICE: Dict[str, tuple] = {
     "element": (None, None),
     "audio": ("element", "floating"),       # waveform samples
-    "spec": ("audio", "floating"),          # generic spectrogram (SpectrogramType)
+    # spectrograms are NOT subtypes of waveforms: in the reference,
+    # SpectrogramType subclasses ChannelType, not AudioSignal
+    # (neural_types/elements.py:180-204) — a mel port must not be
+    # pluggable into a raw-audio port
+    "spec": ("element", "floating"),        # generic spectrogram (SpectrogramType)
     "mel": ("spec", "floating"),            # MelSpectrogramType
     "mfcc": ("spec", "floating"),           # MFCCSpectrogramType
     "embedding": ("element", "floating"),   # AcousticEncodedRepresentation
