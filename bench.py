@@ -13,8 +13,24 @@ conventions aside — all lines go to stdout, the driver keys on the first):
   - gradtts_rtf_10step: mel-only RTF (round-1 headline, for continuity)
   - spiral_step_ms_fp32 / spiral_step_ms_bf16: SPIRAL-base pretraining step
     time at the reference operating point (batch 24/chip, 250k-sample crops,
-    spiral_base_pretrain_ls960.py:173,178) vs the BASELINE target of 1.1x
-    an A100 step (~800 ms class -> target 880 ms).
+    spiral_base_pretrain_ls960.py:173,178) vs SPIRAL_TARGET_MS — an
+    ESTIMATE of the A100-class step (the reference publishes no benchmark
+    tables; records carry baseline_kind="estimate" so the figure is never
+    mistaken for a measurement).
+  - ctc_finetune_step_ms_pad24 / _bucket13s: CTC finetune step at the ls100
+    recipe point (batch 14, spiral_base_finetune_ls100_subword.py:72-114) at
+    the 24 s length cap and at a bucketed ~13 s operating point.
+  - diffvc_conversion_rtf_30step: 30-step `ml` voice conversion (the
+    reference's de-facto perf surface, DiffVC/inference.ipynb conversion
+    cell).
+  - spiral_streaming_chunk_ms: streaming ASR per-chunk device latency at the
+    product recipe point (1.28 s chunks, 2 left chunks,
+    cli/conf/spiral/spiral_base_finetune_ls100_char_streaming.py).
+
+Step metrics additionally carry XLA-reported FLOPs and the achieved MFU vs
+the chip's bf16 peak (tpu_speech/utils/flops.py), plus a "chain" field — the
+number of iterations amortized per dispatch — so chain-amortized numbers are
+never conflated with single-dispatch latency across revisions.
 """
 
 import json
@@ -41,7 +57,13 @@ HOP = 256
 BUCKET = 384  # mel-frame bucket (~4.5 s of speech)
 N_STEPS = 10
 TARGET_RTF = 0.02
-# SPIRAL-base A100 step-time class at B=24/GPU; BASELINE.md asks <= 1.1x
+# SPIRAL-base A100-class step-time ESTIMATE at B=24/GPU (the reference
+# publishes no benchmark tables — BASELINE.md); derivation: the 200k-step /
+# 16-GPU ls960 recipe (spiral_base_pretrain_ls960.py:34,170-212) over the
+# ~2-day wall-clock class of comparable wav2vec-family pretrains gives a
+# ~0.8 s/step class, x1.1 BASELINE allowance -> 880 ms. Emitted with
+# baseline_kind="estimate"; vs_baseline against it is a sanity ratio, not a
+# measured speedup.
 SPIRAL_TARGET_MS = 880.0
 
 TEXT = (
@@ -218,6 +240,7 @@ def bench_spiral_step(bf16: bool, batch_size: int = 24, crop: int = 250000,
 
         return jax.lax.scan(body, st, jnp.arange(chain))
 
+    flops = _chain_flops(run_chain, state, batch, base_key) / chain
     for i in range(2):
         state, losses = run_chain(state, batch, jax.random.fold_in(base_key, i))
         jax.device_get(losses)
@@ -229,7 +252,30 @@ def bench_spiral_step(bf16: bool, batch_size: int = 24, crop: int = 250000,
         )
         jax.device_get(losses)
         times.append(time.perf_counter() - t0)
-    return float(np.median(times)) * 1e3 / chain
+    return float(np.median(times)) * 1e3 / chain, flops
+
+
+def _chain_flops(jitted, *args) -> float:
+    """XLA-reported FLOPs of a compiled chain (0.0 if the backend reports
+    nothing). Lowering with donated args does not execute or donate."""
+    try:
+        from tpu_speech.utils.flops import compiled_cost
+        return compiled_cost(jitted, *args)["flops"]
+    except Exception:
+        return 0.0
+
+
+def _mfu_fields(flops_per_step: float, ms: float):
+    """Extra JSON fields: FLOPs + MFU vs the chip's bf16 peak."""
+    from tpu_speech.utils.flops import device_peak_tflops, mfu
+    out = {}
+    if flops_per_step > 0:
+        out["gflops_per_step"] = round(flops_per_step / 1e9, 2)
+        m = mfu(flops_per_step, ms / 1e3)
+        if m is not None:
+            out["mfu"] = round(m, 4)
+            out["peak_tflops_bf16"] = device_peak_tflops()
+    return out
 
 
 def bench_gradtts_train_step(bf16: bool = False, batch_size: int = 16,
@@ -279,6 +325,7 @@ def bench_gradtts_train_step(bf16: bool = False, batch_size: int = 16,
         return jax.lax.scan(body, st, jnp.arange(chain))
 
     base_key = jax.random.PRNGKey(0)
+    flops = _chain_flops(run_chain, state, batch, base_key) / chain
     for i in range(2):
         state, losses = run_chain(state, batch, jax.random.fold_in(base_key, i))
         jax.device_get(losses)
@@ -290,10 +337,184 @@ def bench_gradtts_train_step(bf16: bool = False, batch_size: int = 16,
         )
         jax.device_get(losses)
         times.append(time.perf_counter() - t0)
-    return float(np.median(times)) * 1e3 / chain
+    return float(np.median(times)) * 1e3 / chain, flops
 
 
-def emit(metric, value, unit, vs_baseline, spread=None):
+def bench_ctc_finetune_step(bf16: bool = False, batch_size: int = 14,
+                            seconds: float = 24.0, chain: int = 8):
+    """CTC finetune step at the ls100 recipe point: batch 14, subword vocab
+    1024(+blank), 2xConv512(k5) decoder, AdamW — the operating point of
+    spiral_base_finetune_ls100_subword.py:60-114. `seconds` pads every
+    utterance to the length cap (24 s) or a bucketed point (~13 s, what a
+    duration-bucketed loader actually pays on train-clean-100)."""
+    from functools import partial
+
+    import optax
+
+    from tpu_speech.models.spiral.ctc import (
+        CTCFinetuneModel,
+        CTCTrainState,
+        make_finetune_step,
+    )
+    from tpu_speech.models.spiral.encoder import ConvLayerCfg
+    from tpu_speech.models.spiral.st2vec import spiral_base_config
+    from tpu_speech.train.spiral_runner import _spec_len
+
+    cfg = spiral_base_config(
+        mask_prob=0.3, mask_length=4, mask_channel_prob=0.3,
+        mask_channel_length=20,
+    )
+    vocab = 1024  # spm_1k unigram
+    model = CTCFinetuneModel(
+        cfg, vocab + 1, "vocab_first",
+        decoder_convs=(
+            ConvLayerCfg(512, (5,), (1,), None, "relu", 0.1),
+            ConvLayerCfg(512, (5,), (1,), None, "relu", 0.1),
+        ),
+    )
+    crop = int(seconds * cfg.sample_rate)
+    crop -= crop % 16
+    spec_len = _spec_len(crop, cfg.sample_rate)
+    rng = np.random.default_rng(0)
+    wavs = (rng.standard_normal((batch_size, crop)) * 0.1).astype(np.float32)
+    n_labels = max(8, int(seconds * 3))  # ~3 subword tokens/s of speech
+    batch = {
+        "wavs": jnp.asarray(wavs),
+        "wav_lens": jnp.full((batch_size,), crop, dtype=jnp.int32),
+        "labels": jnp.asarray(rng.integers(
+            1, vocab, size=(batch_size, n_labels)).astype(np.int32)),
+        "label_lens": jnp.full((batch_size,), n_labels, dtype=jnp.int32),
+    }
+    specs = jnp.zeros((batch_size, spec_len, cfg.num_features))
+    lens = jnp.full((batch_size,), spec_len, dtype=jnp.int32)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0)}, specs, lens, train=False
+    )
+    tx = optax.adamw(3e-5, b1=0.9, b2=0.98, eps=1e-6, weight_decay=0.01)
+    state = CTCTrainState(
+        jnp.zeros((), jnp.int32), variables["params"],
+        variables.get("batch_stats", {}), tx.init(variables["params"]),
+    )
+    step = make_finetune_step(model, cfg, tx, bf16=bf16)
+    base_key = jax.random.key(0, impl="rbg")
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def run_chain(st, batch, base):
+        def body(st, i):
+            st, m = step(st, batch, jax.random.fold_in(base, i))
+            return st, m["loss"]
+
+        return jax.lax.scan(body, st, jnp.arange(chain))
+
+    flops = _chain_flops(run_chain, state, batch, base_key) / chain
+    for i in range(2):
+        state, losses = run_chain(state, batch, jax.random.fold_in(base_key, i))
+        jax.device_get(losses)
+    times = []
+    for i in range(7):
+        t0 = time.perf_counter()
+        state, losses = run_chain(
+            state, batch, jax.random.fold_in(base_key, 2 + i)
+        )
+        jax.device_get(losses)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)) * 1e3 / chain, flops
+
+
+def bench_diffvc_conversion(n_steps: int = 30, mode: str = "ml",
+                            frames: int = 256, chain: int = 8):
+    """30-step `ml` voice conversion RTF at the production dims
+    (cli/params_vc.py) — the reference's de-facto conversion perf surface
+    (DiffVC/inference.ipynb cell 7: n_timesteps=30, mode='ml'). One chained
+    dispatch of `chain` conversions; RTF charges converted-audio seconds at
+    22.05 kHz / hop 256."""
+    from tpu_speech.models.diffvc.vc import DiffVC, voice_convert
+
+    model = DiffVC()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, frames, 80)).astype(np.float32))
+    x_ref = jnp.asarray(
+        rng.standard_normal((1, frames, 80)).astype(np.float32))
+    xl = jnp.array([frames], dtype=jnp.int32)
+    c = jnp.asarray(rng.standard_normal((1, 256)).astype(np.float32))
+    params = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), x, xl, x_ref, c, jax.random.PRNGKey(1),
+        train=True,
+    )
+
+    @jax.jit
+    def convert_chain(p, x, xl, x_ref, c, rng):
+        def body(_, k):
+            _, y = voice_convert(
+                model, p, x, xl, x_ref, xl, c, n_timesteps=n_steps,
+                mode=mode, rng=k,
+            )
+            return 0.0, y
+        _, ys = jax.lax.scan(body, 0.0, jax.random.split(rng, chain))
+        return ys
+
+    t, _, spread = _median_time(
+        convert_chain, params, x, xl, x_ref, c, jax.random.PRNGKey(0), n=7
+    )
+    scale = SAMPLE_RATE / (chain * frames * HOP)
+    return t * scale, (spread[0] * scale, spread[1] * scale)
+
+
+def bench_streaming_chunk(chain: int = 16):
+    """Streaming ASR per-chunk device latency at the product recipe point:
+    SPIRAL-base streaming encoder, 1.28 s chunks (128 spec frames), 2 left
+    chunks, char decoder (spiral_base_finetune_ls100_char_streaming.py).
+    Chain-amortized over `chain` consecutive chunks of one stream (each chunk
+    consumes the previous chunk's carried caches — real streaming serving).
+    First-token latency on real hardware = this + one chunk of audio."""
+    from tpu_speech.models.spiral.ctc import CTCFinetuneModel
+    from tpu_speech.models.spiral.encoder import ConvLayerCfg, StreamingCfg
+    from tpu_speech.models.spiral.st2vec import spiral_base_config
+    from tpu_speech.models.spiral.streaming import feat_spec, make_stream_step
+
+    cfg = spiral_base_config(
+        streaming=StreamingCfg(chunk_frames=128, left_chunks=2)
+    )
+    model = CTCFinetuneModel(
+        cfg, 29, "vocab_first",
+        decoder_convs=(
+            ConvLayerCfg(512, (5,), (1,), None, "relu", 0.1),
+            ConvLayerCfg(512, (5,), (1,), None, "relu", 0.1),
+        ),
+    )
+    spec_len = 512
+    specs = jnp.zeros((1, spec_len, cfg.num_features))
+    lens = jnp.full((1,), spec_len, dtype=jnp.int32)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0)}, specs, lens, train=False
+    )
+    feat = feat_spec(sample_rate=cfg.sample_rate, nfilt=cfg.num_features)
+    init_state, step = make_stream_step(
+        model, variables["params"], feat=feat
+    )
+    hop = int(0.01 * cfg.sample_rate)
+    chunk_samples = 128 * hop
+    window_len = chunk_samples + feat.overlap
+    rng = np.random.default_rng(0)
+    windows = jnp.asarray(
+        (rng.standard_normal((chain, 1, window_len)) * 0.1).astype(np.float32)
+    )
+    n_valid = jnp.full((1,), 128, dtype=jnp.int32)
+
+    @jax.jit
+    def run_chain(st, windows):
+        def body(st, w):
+            st, log_probs, _ = step(st, w, n_valid)
+            return st, log_probs[:, -1, 0]
+        st, out = jax.lax.scan(body, st, windows)
+        return out
+
+    st = init_state(1)
+    t, _, _ = _median_time(run_chain, st, windows, n=9)
+    return t * 1e3 / chain
+
+
+def emit(metric, value, unit, vs_baseline, spread=None, **extra):
     rec = {
         "metric": metric, "value": round(value, 6), "unit": unit,
         "vs_baseline": round(vs_baseline, 3),
@@ -301,7 +522,9 @@ def emit(metric, value, unit, vs_baseline, spread=None):
     if spread is not None:
         rec["p25"] = round(spread[0], 6)
         rec["p75"] = round(spread[1], 6)
+    rec.update(extra)
     print(json.dumps(rec), flush=True)
+    return rec
 
 
 def run_one(metric: str):
@@ -329,18 +552,46 @@ def run_one(metric: str):
         # (Grad-TTS/hifi-gan/README.md:18-20) — vocoder-only, apples to apples
         emit(metric, xrt, "x_realtime", xrt / 167.0)
     elif metric == "gradtts_train_step_ms_fp32":
-        ms = bench_gradtts_train_step(bf16=False)
+        ms, fl = bench_gradtts_train_step(bf16=False)
         # no published baseline; vs_baseline = steps/sec (informational)
-        emit(metric, ms, "ms/step", 1000.0 / ms)
+        emit(metric, ms, "ms/step", 1000.0 / ms, chain=8,
+             baseline_kind="steps_per_sec", **_mfu_fields(fl, ms))
     elif metric == "gradtts_train_step_ms_bf16":
-        ms = bench_gradtts_train_step(bf16=True)
-        emit(metric, ms, "ms/step", 1000.0 / ms)
+        ms, fl = bench_gradtts_train_step(bf16=True)
+        emit(metric, ms, "ms/step", 1000.0 / ms, chain=8,
+             baseline_kind="steps_per_sec", **_mfu_fields(fl, ms))
     elif metric == "spiral_step_ms_fp32":
-        ms = bench_spiral_step(bf16=False)
-        emit(metric, ms, "ms/step", SPIRAL_TARGET_MS / ms)
+        ms, fl = bench_spiral_step(bf16=False)
+        emit(metric, ms, "ms/step", SPIRAL_TARGET_MS / ms, chain=8,
+             baseline_kind="estimate", **_mfu_fields(fl, ms))
     elif metric == "spiral_step_ms_bf16":
-        ms = bench_spiral_step(bf16=True)
-        emit(metric, ms, "ms/step", SPIRAL_TARGET_MS / ms)
+        ms, fl = bench_spiral_step(bf16=True)
+        emit(metric, ms, "ms/step", SPIRAL_TARGET_MS / ms, chain=8,
+             baseline_kind="estimate", **_mfu_fields(fl, ms))
+    elif metric == "ctc_finetune_step_ms_pad24":
+        ms, fl = bench_ctc_finetune_step(bf16=False, seconds=24.0)
+        emit(metric, ms, "ms/step", 1000.0 / ms, chain=8,
+             baseline_kind="steps_per_sec", **_mfu_fields(fl, ms))
+    elif metric == "ctc_finetune_step_ms_bucket13s":
+        ms, fl = bench_ctc_finetune_step(bf16=False, seconds=12.8)
+        emit(metric, ms, "ms/step", 1000.0 / ms, chain=8,
+             baseline_kind="steps_per_sec", **_mfu_fields(fl, ms))
+    elif metric == "ctc_finetune_step_ms_pad24_bf16":
+        ms, fl = bench_ctc_finetune_step(bf16=True, seconds=24.0)
+        emit(metric, ms, "ms/step", 1000.0 / ms, chain=8,
+             baseline_kind="steps_per_sec", **_mfu_fields(fl, ms))
+    elif metric == "diffvc_conversion_rtf_30step":
+        rtf, sp = bench_diffvc_conversion()
+        # same 0.02 RTF-class north star as TTS (BASELINE.md fidelity
+        # configs share the serving budget); informational target
+        emit(metric, rtf, "rtf", TARGET_RTF / rtf, sp, chain=8,
+             baseline_kind="north_star_target")
+    elif metric == "spiral_streaming_chunk_ms":
+        ms = bench_streaming_chunk()
+        # realtime budget: 1.28 s of audio per chunk; vs_baseline = how many
+        # times faster than realtime the chunk is processed
+        emit(metric, ms, "ms/chunk", 1280.0 / ms, chain=16,
+             baseline_kind="realtime_budget")
     else:
         raise SystemExit(f"unknown metric {metric}")
 
@@ -412,6 +663,11 @@ ALL_METRICS = (
     "gradtts_train_step_ms_bf16",
     "spiral_step_ms_fp32",
     "spiral_step_ms_bf16",
+    "ctc_finetune_step_ms_pad24",
+    "ctc_finetune_step_ms_bucket13s",
+    "ctc_finetune_step_ms_pad24_bf16",
+    "diffvc_conversion_rtf_30step",
+    "spiral_streaming_chunk_ms",
 )
 
 
@@ -427,10 +683,15 @@ def main():
         import os
         import subprocess
 
+        out_path = next(
+            (a.split("=", 1)[1] for a in sys.argv[1:]
+             if a.startswith("--out=")), None,
+        )
+        records = []
         for m in ALL_METRICS:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), f"--metric={m}"],
-                capture_output=True, text=True, timeout=1200,
+                capture_output=True, text=True, timeout=1800,
             )
             line = next(
                 (ln for ln in proc.stdout.splitlines()
@@ -438,11 +699,17 @@ def main():
             )
             if proc.returncode == 0 and line:
                 print(line, flush=True)
+                records.append(json.loads(line))
             else:
-                print(json.dumps({
-                    "metric": m,
-                    "error": (proc.stderr or proc.stdout)[-200:],
-                }), flush=True)
+                err = {"metric": m, "error": (proc.stderr or proc.stdout)[-200:]}
+                print(json.dumps(err), flush=True)
+                records.append(err)
+        if out_path:
+            with open(out_path, "w") as f:
+                json.dump({
+                    "device": jax.devices()[0].device_kind,
+                    "records": records,
+                }, f, indent=1)
         return
     # default (driver contract): ONE line, the headline metric
     run_one("gradtts_e2e_wav_rtf_10step")

@@ -59,25 +59,49 @@ def main():
     voc = Generator()
     voc32 = jax.jit(voc.init)(jax.random.PRNGKey(2), jnp.zeros((1, BUCKET, 80)))
 
+    # the chain scans over PER-ITERATION token inputs (xs tiled to CHAIN):
+    # with a loop-invariant x, XLA's while-loop-invariant code motion hoists
+    # the text-encoder/alignment subgraph out of the scan and runs it once
+    # per dispatch, deflating the per-utterance encoder figure by up to
+    # CHAIN x. Scanned xs are dynamic per iteration, so nothing hoists.
+    xs = jnp.tile(x[None], (CHAIN, 1, 1))
+    xls = jnp.tile(xl[None], (CHAIN, 1))
+
     for name, params, vocp in (
         ("fp32", params32, voc32),
         ("bf16", cast_bf16(params32), cast_bf16(voc32)),
     ):
         # stage 1+2: text encoder + alignment + 10-step SDE (mel only)
-        def mel_chain(p, x, xl, rng, n_steps):
-            def body(_, k):
+        def mel_chain(p, xs, xls, rng, n_steps):
+            def body(_, xkl):
+                xi, xli, k = xkl
                 _, dec, _, ylen = synthesize(
-                    model, p, x, xl, n_timesteps=n_steps, y_max_length=BUCKET,
+                    model, p, xi, xli, n_timesteps=n_steps,
+                    y_max_length=BUCKET,
                     temperature=1.5, length_scale=0.91, rng=k)
                 return 0.0, (dec, ylen)
             _, (decs, ylens) = jax.lax.scan(
-                body, 0.0, jax.random.split(rng, CHAIN))
+                body, 0.0, (xs, xls, jax.random.split(rng, CHAIN)))
             return decs, ylens
 
-        mel10 = jax.jit(lambda p, x, xl, r: mel_chain(p, x, xl, r, 10))
-        mel1 = jax.jit(lambda p, x, xl, r: mel_chain(p, x, xl, r, 1))
-        t10, (decs, _) = timed(mel10, params, x, xl, jax.random.PRNGKey(0))
-        t1, _ = timed(mel1, params, x, xl, jax.random.PRNGKey(0))
+        mel10 = jax.jit(lambda p, xs, xls, r: mel_chain(p, xs, xls, r, 10))
+        mel1 = jax.jit(lambda p, xs, xls, r: mel_chain(p, xs, xls, r, 1))
+        t10, (decs, _) = timed(mel10, params, xs, xls, jax.random.PRNGKey(0))
+        t1, _ = timed(mel1, params, xs, xls, jax.random.PRNGKey(0))
+
+        # cross-check: encoder+alignment timed alone on the same scanned
+        # inputs — catches any residual motion in the subtracted estimate
+        @jax.jit
+        def enc_chain(p, xs, xls):
+            def body(_, xkl):
+                xi, xli = xkl
+                mu_x, logw, x_mask = model.apply(
+                    p, xi, xli, None, method=GradTTS.encode)
+                return 0.0, mu_x.astype(jnp.float32).mean()
+            _, outs = jax.lax.scan(body, 0.0, (xs, xls))
+            return outs
+
+        te, _ = timed(enc_chain, params, xs, xls)
 
         # stage 3: vocoder alone, chained on the produced mels
         @jax.jit
@@ -95,7 +119,8 @@ def main():
         unet_call = (t10 - t1) * per / 9.0
         enc = t1 * per - unet_call  # encoder+align+1 unet -> subtract the call
         print(f"[{name}] per-utterance ms: mel10={t10*per:.2f} "
-              f"(encoder+align~{enc:.2f}, unet/call~{unet_call:.2f} x10) "
+              f"(encoder+align~{enc:.2f} [standalone {te*per:.2f}], "
+              f"unet/call~{unet_call:.2f} x10) "
               f"vocoder+pcm={tv*per:.2f} total~{t10*per + tv*per:.2f}")
 
 

@@ -177,6 +177,50 @@ def test_lr_scale_rule():
     assert _lr_scale(M(), 8, 4) == 1.0
 
 
+def test_fsdp_parity_quick_tier():
+    """Quick-tier sharded-training parity (smallest mesh that shards): a
+    deterministic tiny CTC step under ZeRO-style param sharding on a 2-device
+    mesh must equal the replicated-DP loss. The exhaustive TP/SP/FSDP parity
+    suite is slow-tier; this keeps ONE numerical placement check in every
+    `-m 'not slow'` run so a partitioner regression can't ride to CI-full."""
+    from tpu_speech.parallel.mesh import fsdp_shardings
+
+    cfg, model, tx, variables, batch = _ctc_setup(b=4)
+    mesh = make_mesh(n_devices=2)
+
+    def fresh_state():
+        return CTCTrainState(
+            jnp.zeros((), jnp.int32),
+            jax.tree.map(jnp.copy, variables["params"]),
+            variables.get("batch_stats", {}),
+            tx.init(variables["params"]),
+        )
+
+    losses = {}
+    for name in ("dp", "fsdp"):
+        state = fresh_state()
+        if name == "fsdp":
+            shardings = fsdp_shardings(mesh, state, min_size=2 ** 6)
+            state = jax.tree.map(jax.device_put, state, shardings)
+            specs = jax.tree.leaves(
+                jax.tree.map(lambda a: str(a.sharding.spec), state.params)
+            )
+            assert any("data" in s for s in specs), specs
+            step = make_finetune_step(
+                model, cfg, tx, mesh=mesh, state_shardings=shardings
+            )
+        else:
+            state = replicate(mesh, state)
+            step = make_finetune_step(model, cfg, tx)
+        state, m = step(
+            state, shard_batch(mesh, batch), jax.random.PRNGKey(2),
+            iteration=0,
+        )
+        losses[name] = float(jax.device_get(m["loss"]))
+    assert np.isfinite(losses["dp"])
+    assert losses["fsdp"] == pytest.approx(losses["dp"], abs=1e-5), losses
+
+
 @pytest.mark.slow
 def test_two_process_matches_single_process():
     """Two federated jax.distributed processes (4 virtual devices each) train
