@@ -240,7 +240,7 @@ def bench_spiral_step(bf16: bool, batch_size: int = 24, crop: int = 250000,
 
         return jax.lax.scan(body, st, jnp.arange(chain))
 
-    flops = _chain_flops(run_chain, state, batch, base_key) / chain
+    flops = _chain_flops(run_chain, state, batch, base_key)
     for i in range(2):
         state, losses = run_chain(state, batch, jax.random.fold_in(base_key, i))
         jax.device_get(losses)
@@ -256,8 +256,12 @@ def bench_spiral_step(bf16: bool, batch_size: int = 24, crop: int = 250000,
 
 
 def _chain_flops(jitted, *args) -> float:
-    """XLA-reported FLOPs of a compiled chain (0.0 if the backend reports
-    nothing). Lowering with donated args does not execute or donate."""
+    """XLA-reported FLOPs of ONE chained step. XLA's cost analysis counts a
+    while/scan body ONCE regardless of trip count (verified against per-op
+    trace flops: full-step trace 3990 GF/step vs cost_analysis 3987 GF for
+    the whole 8-step chain), so the compiled chain's flops ARE the per-step
+    flops — do not divide by chain. Lowering with donated args neither
+    executes nor donates."""
     try:
         from tpu_speech.utils.flops import compiled_cost
         return compiled_cost(jitted, *args)["flops"]
@@ -325,7 +329,7 @@ def bench_gradtts_train_step(bf16: bool = False, batch_size: int = 16,
         return jax.lax.scan(body, st, jnp.arange(chain))
 
     base_key = jax.random.PRNGKey(0)
-    flops = _chain_flops(run_chain, state, batch, base_key) / chain
+    flops = _chain_flops(run_chain, state, batch, base_key)
     for i in range(2):
         state, losses = run_chain(state, batch, jax.random.fold_in(base_key, i))
         jax.device_get(losses)
@@ -406,7 +410,7 @@ def bench_ctc_finetune_step(bf16: bool = False, batch_size: int = 14,
 
         return jax.lax.scan(body, st, jnp.arange(chain))
 
-    flops = _chain_flops(run_chain, state, batch, base_key) / chain
+    flops = _chain_flops(run_chain, state, batch, base_key)
     for i in range(2):
         state, losses = run_chain(state, batch, jax.random.fold_in(base_key, i))
         jax.device_get(losses)

@@ -36,7 +36,7 @@ def load_encoder_params(enc_path):
     return p.get("params", p)
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-dir", required=True)
     ap.add_argument("--val-file", default=None)
@@ -51,7 +51,7 @@ def main():
                     help="bf16: mixed-precision network compute, fp32 "
                          "master weights (train/diffvc.py)")
     ap.add_argument("--lr", type=float, default=1e-4)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     dataset = VCDecDataset(args.data_dir, args.val_file, args.exc_file,
                            shuffle_seed=params.seed)

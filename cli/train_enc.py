@@ -20,7 +20,7 @@ from tpu_speech.train.diffvc import DiffVCTrainer, make_enc_train_step
 from tpu_speech.train.state import TrainState
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-dir", required=True)
     ap.add_argument("--exc-file", default=None)
@@ -33,7 +33,7 @@ def main():
                     help="bf16: mixed-precision network compute, fp32 "
                          "master weights (train/diffvc.py)")
     ap.add_argument("--lr", type=float, default=5e-4)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     dataset = VCEncDataset(args.data_dir, args.exc_file, args.avg_type,
                            shuffle_seed=params.seed)

@@ -13,11 +13,14 @@ Methodology notes:
   input), so XLA cannot hoist loop-invariant subgraphs out of the chain or
   elide repeated work — the failure mode scripts/profile_serving.py had
   before round 3.
+- parameters are passed as jit ARGUMENTS, never closed over: the tunneled
+  chip ships closed-over arrays as compile-request constants and 413s on
+  the ~400 MB param tree.
 - phase times are chain-amortized device time (one dispatch+sync per chain),
   the same convention as bench.py step metrics.
-- phases overlap deliberately is NOT modeled: fwd != featurize+teacher+student
-  +loss exactly because XLA fuses across phase boundaries in the real step;
-  the residual is reported as `fusion_gain`.
+- fwd != featurize+teacher+student+loss exactly because XLA fuses across
+  phase boundaries in the real step; the residual is reported as
+  `fusion_gain`.
 
 Usage: python scripts/profile_spiral_step.py [--bf16] [--json OUT.json]
 """
@@ -45,7 +48,6 @@ from tpu_speech.models.spiral.st2vec import (  # noqa: E402
     momentum_schedule,
     sample_negatives,
     spiral_base_config,
-    teacher_param_subset,
     teacher_shift,
     wav_to_spec,
 )
@@ -64,27 +66,14 @@ from tpu_speech.utils.flops import (  # noqa: E402
 
 BATCH = 24
 CROP = 250000
-CHAIN = 8
 REPS = 5
-
-
-def _chain_time(run, *args):
-    """Median wall time of `run(*args)` (one dispatch), sync via device_get."""
-    for _ in range(2):
-        jax.device_get(run(*args))
-    ts = []
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        jax.device_get(run(*args))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--json", default=None)
-    ap.add_argument("--chain", type=int, default=CHAIN)
+    ap.add_argument("--chain", type=int, default=8)
     args = ap.parse_args()
     chain = args.chain
     dt = jnp.bfloat16 if args.bf16 else jnp.float32
@@ -106,7 +95,8 @@ def main():
     state = init_spiral_state(
         model, jax.random.PRNGKey(0), (BATCH, spec_len, cfg.num_features), tx
     )
-    mask_emb = jnp.asarray(gaussian_mask_emb(cfg.num_features)).astype(dt)
+    mask_emb32 = jnp.asarray(gaussian_mask_emb(cfg.num_features))
+    mask_emb = mask_emb32.astype(dt)
     base_key = jax.random.key(0, impl="rbg")
 
     def cast(tree):
@@ -118,28 +108,26 @@ def main():
     teacher_c = cast(state.teacher)
     t_params_c = dict(params_c)
     t_params_c.update(teacher_c)
+    bstats = state.batch_stats
 
-    # ---- staged intermediates (computed once, feed later phases) ----------
+    # ---- staged pieces (params are ARGS, see module docstring) ------------
     @jax.jit
-    def stage_featurize(wavs, p_wavs, key):
-        t_specs, t_lens = wav_to_spec(cfg, wavs, batch["wav_lens"],
+    def stage_featurize(batch, key):
+        t_specs, t_lens = wav_to_spec(cfg, batch["wavs"], batch["wav_lens"],
                                       training=True,
                                       rng=jax.random.fold_in(key, 1))
-        s_specs, s_lens = wav_to_spec(cfg, p_wavs, batch["p_wav_lens"],
-                                      training=True,
+        s_specs, s_lens = wav_to_spec(cfg, batch["p_wavs"],
+                                      batch["p_wav_lens"], training=True,
                                       rng=jax.random.fold_in(key, 2))
         return t_specs.astype(dt), t_lens, s_specs.astype(dt), s_lens
 
-    t_specs, t_lens, s_specs, s_lens = stage_featurize(
-        batch["wavs"], batch["p_wavs"], base_key)
-
     @jax.jit
-    def stage_teacher(t_specs, t_lens, key):
+    def stage_teacher(tp, bstats, batch, t_specs, t_lens, key):
         sh, shl = teacher_shift(t_specs, t_lens, batch["shift_k"],
                                 batch["shift_r"], cfg.shift_unit,
                                 cfg.max_shift, mask_emb)
-        targets, tl = model.apply(
-            {"params": t_params_c, "batch_stats": state.batch_stats},
+        targets, _ = model.apply(
+            {"params": tp, "batch_stats": bstats},
             sh, shl, train=True, method=ST2VecEncoder.encode_teacher,
             rngs={"dropout": key})
         tf_student = t_specs.shape[1] // cfg.shift_unit
@@ -147,63 +135,28 @@ def main():
             targets, batch["shift_k"], tf_student, axis=1)
         return targets
 
-    targets = stage_teacher(t_specs, t_lens, base_key)
-
     @jax.jit
-    def stage_student(s_specs, s_lens, key):
+    def stage_student(p, bstats, batch, s_specs, s_lens, key):
         masked = apply_mask(s_specs, batch["time_mask"], batch["chan_mask"],
                             mask_emb)
         (pred, fl), _ = model.apply(
-            {"params": params_c, "batch_stats": state.batch_stats},
+            {"params": p, "batch_stats": bstats},
             masked, s_lens, train=True,
             method=ST2VecEncoder.encode_student,
             rngs={"dropout": key}, mutable=["batch_stats"])
         return pred, fl
 
-    pred, feat_lens = stage_student(s_specs, s_lens, base_key)
+    t_specs, t_lens, s_specs, s_lens = stage_featurize(batch, base_key)
+    targets = stage_teacher(t_params_c, bstats, batch, t_specs, t_lens,
+                            base_key)
+    pred, feat_lens = stage_student(params_c, bstats, batch, s_specs, s_lens,
+                                    base_key)
 
-    # ---- phase runners: scan of `chain` data-dependent iterations ---------
-    def chained(body):
-        """body(carry_scalar, key) -> new_carry_scalar (fp32)."""
-        @jax.jit
-        def run(key):
-            def it(c, i):
-                return body(c, jax.random.fold_in(key, i)), ()
-            c, _ = jax.lax.scan(it, jnp.float32(0.0), jnp.arange(chain))
-            return c
-        return run
-
-    eps = jnp.float32(1e-30)
-
-    def b_featurize(c, key):
-        o = stage_featurize(batch["wavs"] + c * eps, batch["p_wavs"], key)
-        return o[0].astype(jnp.float32).mean()
-
-    def b_teacher(c, key):
-        t = stage_teacher(t_specs + (c * eps).astype(dt), t_lens, key)
-        return t.astype(jnp.float32).mean()
-
-    def b_student(c, key):
-        p, _ = stage_student(s_specs + (c * eps).astype(dt), s_lens, key)
-        return p.astype(jnp.float32).mean()
-
-    def b_loss_head(c, key):
-        valid = (jnp.arange(pred.shape[1])[None, :]
-                 < feat_lens[:, None]).astype(pred.dtype)
-        negs = sample_negatives(key, targets, feat_lens, cfg.n_negatives)
-        loss, _ = contrastive_loss(pred + (c * eps).astype(dt), targets,
-                                   negs, valid, cfg.logit_temp)
-        return loss.astype(jnp.float32)
-
-    # full forward / forward+backward via the production loss, built exactly
-    # as make_pretrain_step does (same rng wiring)
-    step = make_pretrain_step(model, cfg, tx, bf16=args.bf16)
-
-    def loss_full(params, key, c):
-        from tpu_speech.train import spiral as S
-        # reproduce loss_fn inline: the production one is a closure
-        emb = jnp.asarray(gaussian_mask_emb(cfg.num_features))
-        p, tch = params, state.teacher
+    # production-equivalent full loss (same structure as train/spiral.py)
+    def loss_full(params, teacher, bstats, batch, key, c):
+        eps = jnp.float32(1e-30)
+        emb = mask_emb32
+        p, tch = params, teacher
         if args.bf16:
             p, tch, emb = cast(p), cast(tch), emb.astype(dt)
         rngs = {"dropout": jax.random.fold_in(key, 0)}
@@ -218,7 +171,7 @@ def main():
                                 cfg.shift_unit, cfg.max_shift, emb)
         tp = dict(p)
         tp.update(tch)
-        tg, _ = model.apply({"params": tp, "batch_stats": state.batch_stats},
+        tg, _ = model.apply({"params": tp, "batch_stats": bstats},
                             sh, shl, train=True,
                             method=ST2VecEncoder.encode_teacher, rngs=rngs)
         tg = jax.lax.stop_gradient(tg)
@@ -226,7 +179,7 @@ def main():
         tg = jax.lax.dynamic_slice_in_dim(tg, batch["shift_k"], tf_student, 1)
         ssp = apply_mask(ssp, batch["time_mask"], batch["chan_mask"], emb)
         (pr, fl), _ = model.apply(
-            {"params": p, "batch_stats": state.batch_stats}, ssp, sle,
+            {"params": p, "batch_stats": bstats}, ssp, sle,
             train=True, method=ST2VecEncoder.encode_student, rngs=rngs,
             mutable=["batch_stats"])
         valid = (jnp.arange(pr.shape[1])[None, :]
@@ -236,49 +189,109 @@ def main():
         loss, _ = contrastive_loss(pr, tg, ng, valid, cfg.logit_temp)
         return loss
 
-    def b_fwd(c, key):
-        return loss_full(state.params, key, c)
+    grad_fn = jax.value_and_grad(loss_full)
 
-    grad_fn = jax.value_and_grad(lambda p, k, c: loss_full(p, k, c))
+    # ---- phase runners: scan of `chain` data-dependent iterations ---------
+    # operands holds the big arrays; every body perturbs its input with the
+    # fp32 carry and folds the key per iteration -> nothing is loop-invariant
+    def chained(body, operands):
+        @jax.jit
+        def run(operands, key):
+            def it(c, i):
+                return body(operands, c, jax.random.fold_in(key, i)), ()
+            c, _ = jax.lax.scan(it, jnp.float32(0.0), jnp.arange(chain))
+            return c
+        return run, operands
 
-    def b_fwd_bwd(c, key):
-        loss, grads = grad_fn(state.params, key, c)
-        return loss + 0.0 * jax.tree.leaves(grads)[0].astype(jnp.float32).mean()
+    eps = jnp.float32(1e-30)
 
-    # optimizer + EMA on realistic (param-shaped) grads
-    def b_update(c, key):
-        grads = jax.tree.map(
-            lambda p: jnp.full(p.shape, 1e-6, p.dtype) + (c * eps).astype(
-                p.dtype) if jnp.issubdtype(p.dtype, jnp.floating) else p,
-            state.params)
-        updates, _ = tx.update(grads, state.opt_state, state.params)
+    def b_featurize(ops, c, key):
+        b2 = dict(ops["batch"])
+        b2["wavs"] = b2["wavs"] + c * eps
+        o = stage_featurize(b2, key)
+        return o[0].astype(jnp.float32).mean()
+
+    def b_teacher(ops, c, key):
+        t = stage_teacher(ops["tp"], ops["bstats"], ops["batch"],
+                          ops["t_specs"] + (c * eps).astype(dt),
+                          ops["t_lens"], key)
+        return t.astype(jnp.float32).mean()
+
+    def b_student(ops, c, key):
+        p, _ = stage_student(ops["p"], ops["bstats"], ops["batch"],
+                             ops["s_specs"] + (c * eps).astype(dt),
+                             ops["s_lens"], key)
+        return p.astype(jnp.float32).mean()
+
+    def b_loss_head(ops, c, key):
+        pred, targets, fl = ops["pred"], ops["targets"], ops["feat_lens"]
+        valid = (jnp.arange(pred.shape[1])[None, :]
+                 < fl[:, None]).astype(pred.dtype)
+        negs = sample_negatives(key, targets, fl, cfg.n_negatives)
+        loss, _ = contrastive_loss(pred + (c * eps).astype(dt), targets,
+                                   negs, valid, cfg.logit_temp)
+        return loss.astype(jnp.float32)
+
+    def b_fwd(ops, c, key):
+        return loss_full(ops["p32"], ops["t32"], ops["bstats"], ops["batch"],
+                         key, c)
+
+    def b_fwd_bwd(ops, c, key):
+        loss, grads = grad_fn(ops["p32"], ops["t32"], ops["bstats"],
+                              ops["batch"], key, c)
+        return loss + jax.tree.leaves(grads)[0].astype(jnp.float32).mean()
+
+    def b_update(ops, c, key):
         import optax as _o
-        newp = _o.apply_updates(state.params, updates)
-        m = momentum_schedule(state.step, cfg.target_momentum,
+        grads = jax.tree.map(
+            lambda p: (jnp.full(p.shape, 1e-6, p.dtype)
+                       + (c * eps).astype(p.dtype))
+            if jnp.issubdtype(p.dtype, jnp.floating) else p, ops["p32"])
+        updates, _ = tx.update(grads, ops["opt"], ops["p32"])
+        newp = _o.apply_updates(ops["p32"], updates)
+        m = momentum_schedule(jnp.int32(100), cfg.target_momentum,
                               cfg.target_momentum_final,
                               cfg.target_momentum_steps)
-        t = ema_update(state.teacher, newp, m)
+        t = ema_update(ops["t32"], newp, m)
         return jax.tree.leaves(t)[0].astype(jnp.float32).mean()
 
+    common = {"batch": batch, "bstats": bstats}
     phases = [
-        ("featurize_2x", b_featurize),
-        ("teacher_branch", b_teacher),
-        ("student_branch", b_student),
-        ("negatives_loss", b_loss_head),
-        ("forward_total", b_fwd),
-        ("forward_backward", b_fwd_bwd),
-        ("optimizer_ema", b_update),
+        ("featurize_2x", b_featurize, common),
+        ("teacher_branch", b_teacher,
+         {**common, "tp": t_params_c, "t_specs": t_specs, "t_lens": t_lens}),
+        ("student_branch", b_student,
+         {**common, "p": params_c, "s_specs": s_specs, "s_lens": s_lens}),
+        ("negatives_loss", b_loss_head,
+         {"pred": pred, "targets": targets, "feat_lens": feat_lens}),
+        ("forward_total", b_fwd,
+         {**common, "p32": state.params, "t32": state.teacher}),
+        ("forward_backward", b_fwd_bwd,
+         {**common, "p32": state.params, "t32": state.teacher}),
+        ("optimizer_ema", b_update,
+         {"p32": state.params, "t32": state.teacher,
+          "opt": state.opt_state}),
     ]
 
     peak = device_peak_tflops()
     hbm = device_hbm_gbps()
     rows = []
-    for name, body in phases:
-        run = chained(body)
-        t = _chain_time(run, base_key) / chain
-        cost = compiled_cost(run, base_key)
-        fl = cost["flops"] / chain
-        by = cost["bytes"] / chain
+    for name, body, operands in phases:
+        run, ops = chained(body, operands)
+        for _ in range(2):
+            jax.device_get(run(ops, base_key))
+        ts = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            jax.device_get(run(ops, base_key))
+            ts.append(time.perf_counter() - t0)
+        t = float(np.median(ts)) / chain
+        # XLA cost analysis counts a scan body ONCE regardless of trip
+        # count (verified vs per-op trace flops), so the chain's flops ARE
+        # the per-iteration flops
+        cost = compiled_cost(run, ops, base_key)
+        fl = cost["flops"]
+        by = cost["bytes"]
         row = {
             "phase": name, "ms": t * 1e3, "gflops": fl / 1e9,
             "hbm_gb": by / 1e9,
@@ -291,33 +304,33 @@ def main():
               f"bw={row['bw_frac'] or 0:.3f}", flush=True)
 
     # the real production step (donated, incl. EMA + opt)
-    st = state
+    step = make_pretrain_step(model, cfg, tx, bf16=args.bf16)
 
     @partial(jax.jit, donate_argnums=(0,))
-    def full_chain(st, key):
+    def full_chain(st, batch, key):
         def it(st, i):
             st, m = step(st, batch, jax.random.fold_in(key, i))
             return st, m["loss"]
         return jax.lax.scan(it, st, jnp.arange(chain))
 
+    cost = compiled_cost(full_chain, state, batch, base_key)  # body-once
+    st = state
     for i in range(2):
-        st, losses = full_chain(st, jax.random.fold_in(base_key, i))
+        st, losses = full_chain(st, batch, jax.random.fold_in(base_key, i))
         jax.device_get(losses)
     ts = []
     for i in range(REPS):
         t0 = time.perf_counter()
-        st, losses = full_chain(st, jax.random.fold_in(base_key, 10 + i))
+        st, losses = full_chain(st, batch, jax.random.fold_in(base_key, 9 + i))
         jax.device_get(losses)
         ts.append(time.perf_counter() - t0)
     t_full = float(np.median(ts)) / chain
-    cost = compiled_cost(
-        jax.jit(lambda s, k: full_chain(s, k)[1]), state, base_key)
-    fl = cost["flops"] / chain
-    by = cost["bytes"] / chain
+    fl = cost["flops"]
+    by = cost["bytes"]
     row = {
         "phase": "full_step", "ms": t_full * 1e3, "gflops": fl / 1e9,
         "hbm_gb": by / 1e9, "mfu": mfu(fl, t_full),
-        "bw_frac": (by / (819e9)) / t_full if hbm else None,
+        "bw_frac": (by / (hbm * 1e9)) / t_full if hbm else None,
     }
     rows.append(row)
     print(f"{'full_step':18s} {row['ms']:8.2f} ms  {row['gflops']:9.1f} GF  "

@@ -13,8 +13,13 @@ mode designed for train/serve parity:
 - SERVE: ``make_stream_step`` builds a jitted per-chunk step that carries
   per-layer KV caches (attention), (k-1)-frame input caches (convs and the
   positional conv), and cumulative normalization stats. Its chunked outputs
-  equal the offline streaming-mode forward EXACTLY (tests/test_streaming.py),
-  so a model trained in streaming mode serves with zero train/serve mismatch.
+  equal the offline streaming-mode forward up to float reassociation
+  (asserted at atol=2e-4 fp32, tests/test_streaming.py — the chunked compute
+  reassociates reductions, e.g. block-summed vs cumsum normalization stats,
+  so BIT-exactness is not claimed), and the collapsed greedy transcript is
+  asserted EQUAL. The model sees the same function at train and serve time
+  by construction; there is no architectural train/serve mismatch to tune
+  around (contrast: offline-trained models served with chunked attention).
 
 The per-chunk step is one fused jit program with static shapes: the KV caches
 are fixed-size (left_chunks * chunk) buffers rolled by concatenate+slice, so
