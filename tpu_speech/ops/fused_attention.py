@@ -55,6 +55,12 @@ MAX_T = 768
 
 
 def fused_attention_supported(t: int, backend: Optional[str] = None) -> bool:
+    import os
+
+    if os.environ.get("TPU_SPEECH_DISABLE_FUSED_ATTN"):
+        # perf A/B escape hatch (scripts/profile_spiral_step.py): forces the
+        # plain XLA score/softmax/dropout path everywhere
+        return False
     if backend is None:
         backend = jax.default_backend()
     return backend == "tpu" and t <= MAX_T
