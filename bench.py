@@ -464,6 +464,122 @@ def bench_diffvc_conversion(n_steps: int = 30, mode: str = "ml",
     return t * scale, (spread[0] * scale, spread[1] * scale)
 
 
+def bench_input_pipeline(batch_size: int = 24, crop: int = 250000,
+                         n_steps: int = 12, warmup: int = 3):
+    """Proves the host input pipeline keeps the chip fed: steps/s of the
+    SPIRAL pretrain step fed by the REAL loader (wav read + crop + augment +
+    collate via the native C++ batcher when available, prefetch overlapped)
+    vs steps/s on one pre-staged device batch — the role the reference hides
+    in DataLoader workers (st2vec_pretrain.py:225-233). Both arms use
+    identical per-step dispatches with delayed metric reads (the production
+    runner pattern), so the only difference is where the data comes from.
+    Returns the efficiency ratio (1.0 = the loader costs nothing)."""
+    import os
+    import tempfile
+    from collections import deque
+
+    import optax
+
+    from tpu_speech.data.loader import DataLoader
+    from tpu_speech.data.spiral import AudioDataset
+    from tpu_speech.data.wav import write_wav
+    from tpu_speech.models.spiral.st2vec import ST2VecEncoder, spiral_base_config
+    from tpu_speech.train.spiral import (
+        host_augment_batch,
+        init_spiral_state,
+        make_pretrain_step,
+    )
+    from tpu_speech.train.spiral_runner import _spec_len
+
+    # synthetic 15.6 s corpus, reused across runs
+    root = os.path.join(tempfile.gettempdir(), "tpu_speech_bench_corpus")
+    manifest = os.path.join(root, "manifest.json")
+    n_utts = 64
+    if not os.path.exists(manifest):
+        os.makedirs(root, exist_ok=True)
+        rng = np.random.default_rng(0)
+        entries = []
+        for i in range(n_utts):
+            wav = (rng.standard_normal(crop + 1600) * 0.1).astype(np.float32)
+            path = os.path.join(root, f"utt{i:03d}.wav")
+            write_wav(path, wav, 16000)
+            entries.append(json.dumps({
+                "audio_filepath": path,
+                "duration": (crop + 1600) / 16000.0,
+                "text": "",
+            }))
+        with open(manifest, "w") as f:
+            f.write("\n".join(entries) + "\n")
+
+    cfg = spiral_base_config()
+    model = ST2VecEncoder(cfg)
+    tx = optax.adamw(3e-3, b1=0.9, b2=0.98, eps=1e-6, weight_decay=0.01)
+    spec_len = _spec_len(crop, cfg.sample_rate)
+    state = init_spiral_state(
+        model, jax.random.PRNGKey(0),
+        (batch_size, spec_len, cfg.num_features), tx,
+    )
+    step = make_pretrain_step(model, cfg, tx)
+    base_key = jax.random.key(0, impl="rbg")
+
+    dataset = AudioDataset(manifest, cfg.sample_rate, crop, 0.0, None,
+                           return_both=True)
+    batch_fn = None
+    try:
+        from tpu_speech.data.native_pipeline import NativePretrainBatcher
+        batch_fn = NativePretrainBatcher.maybe_build(dataset, seed=0)
+    except Exception:
+        pass
+    loader = DataLoader(dataset, batch_size, None, shuffle=True,
+                        num_workers=4, prefetch=4, batch_fn=batch_fn)
+
+    host_rng = np.random.default_rng(0)
+
+    def augment(raw):
+        return host_augment_batch(
+            cfg, raw["wavs"], raw["wav_lens"], raw["p_wavs"],
+            raw["p_wav_lens"], spec_len, host_rng,
+        )
+
+    def run_arm(batches, st):
+        """batches: iterator of device-ready batches. Delayed metric reads
+        (depth 2) keep the dispatch pipeline full."""
+        pending = deque()
+        times = []
+        t0 = time.perf_counter()
+        for i, b in enumerate(batches):
+            st, m = step(st, b, jax.random.fold_in(base_key, i))
+            pending.append(m["loss"])
+            while len(pending) > 2:
+                jax.device_get(pending.popleft())
+            if i == warmup - 1:
+                while pending:
+                    jax.device_get(pending.popleft())
+                t0 = time.perf_counter()
+        while pending:
+            jax.device_get(pending.popleft())
+        return st, (time.perf_counter() - t0) / (i + 1 - warmup)
+
+    # arm 1: pre-staged single batch
+    raw0 = next(iter(loader))
+    staged = jax.device_put(jax.tree.map(jnp.asarray, augment(raw0)))
+    state, t_synth = run_arm(
+        (staged for _ in range(n_steps + warmup)), state)
+
+    # arm 2: the real loader, fresh batch each step
+    def loader_batches():
+        n = 0
+        while n < n_steps + warmup:
+            for raw in loader:
+                if n >= n_steps + warmup:
+                    return
+                yield jax.tree.map(jnp.asarray, augment(raw))
+                n += 1
+
+    state, t_loader = run_arm(loader_batches(), state)
+    return t_synth / t_loader, t_loader * 1e3, t_synth * 1e3
+
+
 def bench_streaming_chunk(chain: int = 16):
     """Streaming ASR per-chunk device latency at the product recipe point:
     SPIRAL-base streaming encoder, 1.28 s chunks (128 spec frames), 2 left

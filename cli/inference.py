@@ -99,6 +99,12 @@ def main(argv=None):
                              " ODE (one network call per step); '-t 6"
                              " --solver dpm' is faster AND closer to the"
                              " many-step limit than the default 10-step euler")
+    parser.add_argument("--length-scale", type=float, default=0.91,
+                        help="duration scale (reference inference.py:76 "
+                             "hardcodes 0.91)")
+    parser.add_argument("--temperature", type=float, default=1.5,
+                        help="z = mu_y + N(0,I)/temperature (reference "
+                             "inference.py:76 hardcodes 1.5)")
     parser.add_argument("--hifigan", type=str, default=HIFIGAN_CHECKPT)
     parser.add_argument("--hifigan-config", type=str, default=HIFIGAN_CONFIG)
     parser.add_argument("--out-dir", type=str, default="./out")
@@ -139,8 +145,9 @@ def main(argv=None):
     def synth(p, x, x_lengths, spk, rng):
         return synthesize(
             model, p, x, x_lengths, n_timesteps=args.timesteps,
-            y_max_length=bucket, temperature=1.5, stoc=False, spk=spk,
-            length_scale=0.91, rng=rng, solver=args.solver,
+            y_max_length=bucket, temperature=args.temperature, stoc=False,
+            spk=spk, length_scale=args.length_scale, rng=rng,
+            solver=args.solver,
         )
 
     # vocode emits int16 PCM ON DEVICE — the wav file's payload format —

@@ -97,7 +97,7 @@ def timed_chain(f, x, w):
     @jax.jit
     def run(x, w):
         def body(c, _):
-            y = f(x + c * jnp.float32(1e-30).astype(x.dtype), w)
+            y = f(x + (c * 1e-30).astype(x.dtype), w)
             return y.astype(jnp.float32).mean(), None
         c, _ = lax.scan(body, jnp.float32(0.0), None, length=CHAIN)
         return c
@@ -113,14 +113,17 @@ def timed_chain(f, x, w):
 
 
 def timed_chain_grad(f, x, w):
-    g = jax.grad(lambda x, w: f(x, w).astype(jnp.float32).sum(), argnums=(0, 1))
+    # squared loss: a LINEAR f has x-independent grads, which XLA
+    # hoists out of the chain (bogus timing) — square to keep them live
+    g = jax.grad(
+        lambda x, w: (f(x, w).astype(jnp.float32) ** 2).sum(), argnums=(0, 1))
 
     @jax.jit
     def run(x, w):
         def body(c, _):
-            dx, dw = g(x + c.astype(x.dtype), w)
+            dx, dw = g(x + (c * 1e-30).astype(x.dtype), w)
             return dx.astype(jnp.float32).mean(), None
-        c, _ = lax.scan(body, jnp.float32(1e-30), None, length=CHAIN)
+        c, _ = lax.scan(body, jnp.float32(0.0), None, length=CHAIN)
         return c
 
     for _ in range(2):

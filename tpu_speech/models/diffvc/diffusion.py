@@ -75,12 +75,17 @@ def reverse_diffusion(
     beta_max: float,
     mode: str = "ml",
     rng: Optional[jax.Array] = None,
+    return_history: bool = False,
 ):
     """Integrate from t=1 to 0. ``score_fn(xt, xt_ref, t_vec)`` evaluates the
     conditional estimator. mode in {'pf', 'em', 'ml'} (diffusion.py:164-196),
     plus 'dpm': DPM-Solver++(2M) on the same probability-flow ODE as 'pf'
     (one network call per step; n_timesteps=6 lands closer to the pf limit
-    than 30 pf Euler steps)."""
+    than 30 pf Euler steps).
+
+    return_history=True additionally returns the per-step states stacked as
+    (n_timesteps, B, T, F) — the fidelity harness uses it to measure
+    cross-implementation error growth (cli/check_fidelity.py --growth)."""
     assert mode in ("pf", "em", "ml", "dpm"), mode
     if mode == "dpm":
         from tpu_speech.models.diffusion import reverse_diffusion_dpm
@@ -134,9 +139,11 @@ def reverse_diffusion(
             dxt = dxt + jax.random.normal(sub, z.shape, dtype=z.dtype) * sigma
             rng_next = rng
         xt = (xt - dxt) * m
-        return (xt, rng_next), None
+        return (xt, rng_next), (xt if return_history else None)
 
-    (xt, _), _ = jax.lax.scan(step, (xt0, rng), jnp.arange(n_timesteps))
+    (xt, _), hist = jax.lax.scan(step, (xt0, rng), jnp.arange(n_timesteps))
+    if return_history:
+        return xt, hist
     return xt
 
 

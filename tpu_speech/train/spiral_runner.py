@@ -238,6 +238,9 @@ class SpiralPretrainRunner:
         self._micro_buf = []
         self._micro_sec = 0.0
         self.iteration = 0
+        from collections import deque
+
+        self._pending = deque()  # in-flight (iteration, metrics) futures
 
     def resume_if_exists(self):
         restored = self.ckpt.restore_latest(jax.device_get(self.state))
@@ -494,25 +497,37 @@ class SpiralPretrainRunner:
             self.state, metrics = self.step_fn(
                 self.state, batch, step_rng(self.iteration, self.rng_impl)
             )
-            m = jax.device_get(metrics)  # sync point closes the step timing
-            self.timer.tock("step")
+            self.timer.tock("step")  # dispatch time; device time amortizes
+            # PIPELINED metric reads: never block on the step just issued —
+            # drain metrics 2 steps behind so the host prepares batch i+1
+            # (and the dispatcher queues step i+1) while the device runs
+            # step i. A hard per-step device_get costs one full host<->device
+            # round trip per step and idles the chip between steps.
+            self._pending.append((self.iteration, metrics))
+            while len(self._pending) > 2:
+                it_done, mm = self._pending.popleft()
+                m = jax.device_get(mm)
+                losses.append(float(m["loss"]))
+                accs.append(float(m["accuracy"]))
+                if self.tb is not None and it_done % 50 == 0:
+                    self.tb.add_scalar("train/loss", losses[-1], it_done)
+                    self.tb.add_scalar("train/accuracy", accs[-1], it_done)
+            self.iteration += 1
+        while self._pending:  # epoch boundary: drain (the only hard sync)
+            _, mm = self._pending.popleft()
+            m = jax.device_get(mm)
             losses.append(float(m["loss"]))
             accs.append(float(m["accuracy"]))
-            if (self.tb is not None and self.iteration % 50 == 0):
-                self.tb.add_scalar("train/loss", losses[-1], self.iteration)
-                self.tb.add_scalar("train/accuracy", accs[-1], self.iteration)
-                st = self.timer.summary().get("step")
-                if st is not None:
-                    self.tb.add_scalar(
-                        "train/step_time_ms", st["mean_s"] * 1e3, self.iteration
-                    )
-            self.iteration += 1
         dt = time.time() - t0
-        st = self.timer.summary().get("step", {})
+        n_steps = max(len(losses), 1)
+        if self.tb is not None:
+            self.tb.add_scalar(
+                "train/step_time_ms", dt * 1e3 / n_steps, self.iteration
+            )
         msg = (
             f"Epoch {epoch}: loss = {np.mean(losses):.4f} | "
             f"acc = {np.mean(accs):.4f} | "
-            f"step {st.get('mean_s', 0.0) * 1e3:.0f} ms | "
+            f"step {dt * 1e3 / n_steps:.0f} ms | "
             f"{n_sec / max(dt, 1e-9):.1f}x realtime\n"
         )
         if self.primary:
@@ -721,6 +736,9 @@ class SpiralFinetuneRunner:
                 except Exception:
                     self.tb = None
         self.iteration = 0
+        from collections import deque
+
+        self._pending = deque()  # in-flight metrics futures
 
     @staticmethod
     def _load_pretrain(path):
@@ -863,8 +881,17 @@ class SpiralFinetuneRunner:
                 self.state, batch, step_rng(self.iteration, self.rng_impl),
                 iteration=self.iteration,
             )
-            losses.append(float(jax.device_get(metrics)["loss"]))
+            # pipelined metric reads (see SpiralPretrainRunner.train_epoch)
+            self._pending.append(metrics)
+            while len(self._pending) > 2:
+                losses.append(
+                    float(jax.device_get(self._pending.popleft())["loss"])
+                )
             self.iteration += 1
+        while self._pending:
+            losses.append(
+                float(jax.device_get(self._pending.popleft())["loss"])
+            )
         if self.primary:
             with open(os.path.join(self.log_dir, "train.log"), "a") as f:
                 f.write(f"Epoch {epoch}: ctc loss = {np.mean(losses):.4f}\n")
