@@ -712,6 +712,13 @@ def run_one(metric: str):
         # times faster than realtime the chunk is processed
         emit(metric, ms, "ms/chunk", 1280.0 / ms, chain=16,
              baseline_kind="realtime_budget")
+    elif metric == "spiral_input_pipeline_efficiency":
+        eff, ms_loader, ms_synth = bench_input_pipeline()
+        # gate: the loader-fed trainer must run >= 0.95x the pre-staged rate
+        emit(metric, eff, "ratio", eff / 0.95,
+             baseline_kind="gate_0.95",
+             loader_step_ms=round(ms_loader, 3),
+             prestaged_step_ms=round(ms_synth, 3))
     else:
         raise SystemExit(f"unknown metric {metric}")
 
@@ -788,6 +795,7 @@ ALL_METRICS = (
     "ctc_finetune_step_ms_pad24_bf16",
     "diffvc_conversion_rtf_30step",
     "spiral_streaming_chunk_ms",
+    "spiral_input_pipeline_efficiency",
 )
 
 

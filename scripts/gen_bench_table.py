@@ -1,0 +1,83 @@
+"""Regenerate the README benchmark table from a committed BENCH_FULL JSON.
+
+Every performance number in README.md must be mechanically reproducible:
+`python bench.py --all --out=BENCH_FULL_rNN.json` writes the sweep, this
+script renders it. Usage:
+
+    python scripts/gen_bench_table.py BENCH_FULL_r03.json [--update-readme]
+
+--update-readme replaces the block between the markers
+`<!-- BENCH_TABLE_START -->` and `<!-- BENCH_TABLE_END -->` in README.md.
+"""
+
+import json
+import re
+import sys
+
+DESCRIPTIONS = {
+    "gradtts_e2e_wav_rtf_10step":
+        "Grad-TTS end-to-end text->**waveform** RTF, 10-step SDE + HiFi-GAN",
+    "gradtts_e2e_wav_rtf_10step_bf16": "… same, bf16 weights/activations",
+    "gradtts_rtf_10step": "Grad-TTS mel-only RTF (reference formula)",
+    "gradtts_e2e_wav_rtf_dpm6": "e2e RTF, DPM-Solver++(2M), 6 calls",
+    "gradtts_e2e_throughput_b16": "serving throughput, batch 16",
+    "hifigan_throughput_b16": "HiFi-GAN vocoder-only throughput, batch 16",
+    "gradtts_train_step_ms_fp32": "Grad-TTS train step (recipe point)",
+    "gradtts_train_step_ms_bf16": "… bf16",
+    "spiral_step_ms_fp32": "SPIRAL-base pretrain step (B=24, 250k crops)",
+    "spiral_step_ms_bf16": "… bf16",
+    "ctc_finetune_step_ms_pad24": "CTC finetune step, B=14, 24 s pad",
+    "ctc_finetune_step_ms_bucket13s": "… duration-bucketed ~13 s",
+    "ctc_finetune_step_ms_pad24_bf16": "… 24 s pad, bf16",
+    "diffvc_conversion_rtf_30step": "DiffVC 30-step `ml` conversion RTF",
+    "spiral_streaming_chunk_ms": "streaming ASR per-chunk latency (1.28 s)",
+    "spiral_input_pipeline_efficiency":
+        "loader-fed vs pre-staged step-rate ratio (gate >= 0.95)",
+}
+
+
+def render(path: str) -> str:
+    with open(path) as f:
+        data = json.load(f)
+    lines = [
+        f"Measured on 1x {data.get('device', '?')} "
+        f"(`python bench.py --all --out={path}`; `chain` = iterations "
+        "amortized per dispatch, `mfu` vs the chip's bf16 peak):",
+        "",
+        "| metric | value | vs baseline | MFU | notes |",
+        "|---|---|---|---|---|",
+    ]
+    for r in data["records"]:
+        if "error" in r:
+            lines.append(f"| `{r['metric']}` | ERROR | | | {r['error'][:60]} |")
+            continue
+        val = f"{r['value']:.4g} {r['unit']}"
+        vs = f"{r['vs_baseline']:.2f}x ({r.get('baseline_kind', '')})"
+        mfu = f"{r['mfu']*100:.1f}%" if "mfu" in r else ""
+        notes = DESCRIPTIONS.get(r["metric"], "")
+        if "chain" in r:
+            notes += f" [chain {r['chain']}]"
+        lines.append(f"| `{r['metric']}` | {val} | {vs} | {mfu} | {notes} |")
+    return "\n".join(lines)
+
+
+def main():
+    path = sys.argv[1]
+    table = render(path)
+    if "--update-readme" in sys.argv:
+        readme = open("README.md").read()
+        new = re.sub(
+            r"(<!-- BENCH_TABLE_START -->\n).*?(\n<!-- BENCH_TABLE_END -->)",
+            r"\1" + table.replace("\\", "\\\\") + r"\2",
+            readme, flags=re.S,
+        )
+        if new == readme and "<!-- BENCH_TABLE_START -->" not in readme:
+            raise SystemExit("README.md lacks BENCH_TABLE_START/END markers")
+        open("README.md", "w").write(new)
+        print("README.md updated")
+    else:
+        print(table)
+
+
+if __name__ == "__main__":
+    main()
