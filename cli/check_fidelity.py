@@ -326,9 +326,27 @@ def diffvc_gate(steps: int, tol: float, growth: bool = False) -> int:
               f"(0.5 = sqrt-N random walk, 1.0 = linear/systematic)")
 
         # (2) irreducibility probe: the SAME conversion with jax in float64
-        # vs the fp32 torch trajectory. If the f64 run lands at the same
-        # MAE class, the gap IS torch's own fp32 op-order noise — no fp32
-        # re-ordering on our side can close it.
+        # vs the fp32 torch trajectory, at a reduced step count (f64 on the
+        # CPU 126M model is slow; 8 steps compound enough to show the
+        # class). If the f64 run lands at the same MAE class as fp32-vs-
+        # fp32 at 8 steps, the gap IS torch's own fp32 op-order noise — no
+        # fp32 re-ordering on our side can close it.
+        probe_steps = min(8, steps)
+        with torch.no_grad():
+            out8_t = tm.decoder.reverse_diffusion(
+                z_t, torch.from_numpy(mask), mean_t,
+                torch.from_numpy(ref_mel), torch.from_numpy(mask),
+                mean_ref_t, torch.from_numpy(c), probe_steps, "pf",
+            )
+        with jax.default_matmul_precision("highest"):
+            out8_j = vdiff.reverse_diffusion(
+                score_fn, z_j, mask_j, mean_j,
+                jnp.asarray(ref_mel.transpose(0, 2, 1)), mask_j, mean_ref_j,
+                probe_steps, cfg["beta_min"], cfg["beta_max"], mode="pf",
+            )
+        d8 = np.abs(np.asarray(out8_j) - out8_t.numpy().transpose(0, 2, 1))
+        print(f"fp32-jax vs fp32-torch at {probe_steps} steps: "
+              f"MAE {d8.mean():.2e} | max {d8.max():.2e}")
         from contextlib import contextmanager
 
         @contextmanager
@@ -362,11 +380,11 @@ def diffvc_gate(steps: int, tol: float, growth: bool = False) -> int:
 
             out64 = vdiff.reverse_diffusion(
                 score64, z64, mask64, mean64, ref64, mask64, mean_ref64,
-                steps, cfg["beta_min"], cfg["beta_max"], mode="pf",
+                probe_steps, cfg["beta_min"], cfg["beta_max"], mode="pf",
             )
-        d64 = np.abs(np.asarray(out64) - out_t.numpy().transpose(0, 2, 1))
-        print(f"float64-jax vs fp32-torch conversion: MAE {d64.mean():.2e} "
-              f"| max {d64.max():.2e}")
+        d64 = np.abs(np.asarray(out64) - out8_t.numpy().transpose(0, 2, 1))
+        print(f"float64-jax vs fp32-torch at {probe_steps} steps: "
+              f"MAE {d64.mean():.2e} | max {d64.max():.2e}")
         print("-> if this matches the fp32-vs-fp32 MAE above, the residual "
               "is torch's own fp32 op-order noise (irreducible here)")
 

@@ -59,8 +59,9 @@ def _content_hash(x):
     hash equal; distinct vectors collide w.p. ~2^-64."""
     bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
     k = jnp.arange(1, x.shape[-1] + 1, dtype=jnp.uint32)
-    h1 = jnp.sum(bits * (2654435761 * k), axis=-1)
-    h2 = jnp.sum(bits * (40503 * k * k + 1), axis=-1)
+    c1 = jnp.uint32(2654435761)  # wraps mod 2^32 (literal overflows int32)
+    h1 = jnp.sum(bits * (c1 * k), axis=-1)
+    h2 = jnp.sum(bits * (jnp.uint32(40503) * k * k + jnp.uint32(1)), axis=-1)
     return h1, h2
 
 

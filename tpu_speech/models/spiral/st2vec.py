@@ -200,6 +200,10 @@ def teacher_shift(specs, spec_lens, k_units, r_units, unit, max_units,
 # XLA already fuses the gather+cosine+softmax chain here, and the extra
 # fp32-precision grams plus the (B,T,T) scatter in backward cost more than
 # the vector gathers. Keep the materialized formulation.
+# Re-measured round 3 in isolation (scripts/bench_negloss.py, incl. a
+# content-hash neg_is_pos variant): gram fwd+bwd 23.2 ms vs materialized
+# 9.9 ms fp32 / 7.8 ms bf16 at the operating point — 2.3x slower, verdict
+# unchanged.
 def sample_negatives(rng, feats, feat_lens, n_negatives):
     """Per-frame negatives from the same utterance's valid frames, excluding
     the frame itself (sample_negatives_flat, st2vec_model.py:375-413, without

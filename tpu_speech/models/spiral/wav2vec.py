@@ -49,19 +49,33 @@ class ConvPositionalEmbedding(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (c,))
         norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(1, 2), keepdims=True))
         w = v / jnp.maximum(norm, 1e-12) * gmag[:, None, None]
+        from tpu_speech.ops.fused_posconv import (
+            fused_posconv_supported,
+            grouped_conv1d,
+        )
+
         if incremental:
             pads = (0, 0)
         elif self.causal:
             pads = (k - 1, 0)
         else:
             pads = (k // 2, k // 2)
-        y = lax.conv_general_dilated(
-            x, w, window_strides=(1,), padding=[pads],
-            dimension_numbers=("NHC", "HIO", "NHC"), feature_group_count=g,
-        ) + b
-        if k % 2 == 0 and not (self.causal or incremental):
-            # SamePad: even kernel produces one extra frame
-            y = y[:, :-1]
+        if not incremental and fused_posconv_supported(g, c, k):
+            # OPT-IN Pallas im2col kernel (TPU_SPEECH_FUSED_POSCONV=1):
+            # measured 3 ms/step slower than XLA's grouped conv at the
+            # SPIRAL-base point — see ops/fused_posconv.py header for the
+            # measured record. left_pad k//2 == SAME-even + trim.
+            left = (k - 1) if self.causal else (k // 2)
+            y = grouped_conv1d(x, w.astype(x.dtype), g, left) + b
+        else:
+            y = lax.conv_general_dilated(
+                x, w, window_strides=(1,), padding=[pads],
+                dimension_numbers=("NHC", "HIO", "NHC"),
+                feature_group_count=g,
+            ) + b
+            if k % 2 == 0 and not (self.causal or incremental):
+                # SamePad: even kernel produces one extra frame
+                y = y[:, :-1]
         return nn.gelu(y, approximate=False)
 
 
@@ -76,6 +90,23 @@ def chunked_attention_mask(t: int, chunk: int, left_chunks: int):
     cj = jnp.arange(t) // chunk
     diff = cj[:, None] - cj[None, :]
     return (diff >= 0) & (diff <= left_chunks)
+
+
+class _ProjParams(nn.Module):
+    """nn.Dense-shaped parameters ({kernel, bias}, lecun_normal/zeros init)
+    WITHOUT the matmul — MultiheadSelfAttention concatenates q/k/v kernels
+    and runs one fused projection while keeping the exact nn.Dense param
+    tree (checkpoints/converters unchanged)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_dim, self.features)
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
 
 
 class MultiheadSelfAttention(nn.Module):
@@ -105,9 +136,20 @@ class MultiheadSelfAttention(nn.Module):
         )
 
         d_head = self.embed_dim // self.num_heads
-        q = nn.Dense(self.embed_dim, name="q_proj")(x) * (d_head**-0.5)
-        k = nn.Dense(self.embed_dim, name="k_proj")(x)
-        v = nn.Dense(self.embed_dim, name="v_proj")(x)
+        # q/k/v projections issued as ONE (D, 3D) matmul: XLA does not merge
+        # separate dots, and three (B*T, D)x(D, D) launches underfill the MXU
+        # vs one (B*T, D)x(D, 3D). Param tree/names stay exactly nn.Dense's
+        # ({q,k,v}_proj/{kernel,bias}) so converters and checkpoints are
+        # untouched; the concat is fused into the dot by XLA.
+        ws, bs = zip(*[
+            _ProjParams(self.embed_dim, name=n)(x.shape[-1])
+            for n in ("q_proj", "k_proj", "v_proj")
+        ])
+        qkv_w = jnp.concatenate(ws, axis=1)
+        qkv_b = jnp.concatenate(bs, axis=0)
+        qkv = x @ qkv_w.astype(x.dtype) + qkv_b.astype(x.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q * (d_head**-0.5)
         b, t, _ = x.shape
         qh = q.reshape(b, t, self.num_heads, d_head)
         kh = k.reshape(b, t, self.num_heads, d_head)
