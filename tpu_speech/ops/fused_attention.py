@@ -7,9 +7,12 @@ time. Lowered through XLA, every layer materializes the (B, H, T, T) score
 and prob tensors in HBM *and* draws (B, H, T, T) uint32 dropout bits — at
 the SPIRAL-base pretrain operating point (B=24, T in {392..456} block1 /
 {196..228} block2, 13 layers x teacher+student) a profiled ~11 ms/step of
-RngBitGenerator plus the associated score/prob/mask HBM round-trips, over
-25% of total device time. The MXU work itself is ~14 ms/step — the step is
-bandwidth-bound, not FLOPs-bound (see README "SPIRAL step attribution").
+RngBitGenerator plus the associated score/prob/mask HBM round-trips.
+Round-3 re-measurement (post-merge step at 90.1 ms fp32): the fused path's
+custom-calls cost 11.9 ms/step and an A/B with the kernel DISABLED
+(TPU_SPEECH_DISABLE_FUSED_ATTN=1) runs 102.8 ms — the kernel is worth a
+measured 12.7 ms/step. Current per-phase numbers live in the README
+"SPIRAL step attribution" (from scripts/trace_spiral_step.py).
 
 Design: sequence lengths here are short (T <= 768 after conv subsampling),
 so one (batch, head) program holds the ENTIRE (T, T) score tile in VMEM —
@@ -17,7 +20,8 @@ no flash-style streaming softmax is needed. Kernel-side layout is
 (B, H, T, D) so every block's trailing two dims equal the full (T, D)
 plane (the Mosaic tiling requirement); the public API stays (B, T, H, D)
 and the wrapper transposes (cost O(B*T*H*D), negligible vs the O(T^2)
-traffic saved). Grid (B, H); each program:
+traffic saved). Grid (B, H/hp) — each program loops an hp-head chunk sized
+to the scoped-VMEM budget (_heads_per); per head:
 
     q,k,v (T, D) VMEM loads -> scores = q @ k^T (MXU, f32 accum)
     -> key-padding fill (-1e9, exact `where` semantics like the XLA path)
@@ -80,78 +84,115 @@ def _keep_mask(shape, dropout_p: float) -> jnp.ndarray:
 
 
 def _fwd_kernel(mask_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, *,
-                dropout_p: float):
-    q = q_ref[0, 0, :, :]
-    k = k_ref[0, 0, :, :]
-    v = v_ref[0, 0, :, :]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+                dropout_p: float, n_heads: int, heads_per: int):
+    # Heads are chunked per program (grid (B, H/hp)): vs the original
+    # per-(b,h) grid this moves hp-times bigger DMAs through 6x fewer
+    # program instances — measured step-time NEUTRAL at SPIRAL-base
+    # (92.0 vs 90-92 ms fp32 run-to-run band), kept for the lower program
+    # count at larger batches and the VMEM-aware sizing
     pad = mask_ref[0, 0, :]  # (T,) 1.0 at padded keys
-    s = jnp.where(pad[None, :] > 0.0, -1e9, s)
-    p = _softmax_rows(s)
-    if dropout_p > 0.0:
-        # Mosaic accepts at most 2 seed words: fold (b, h) into one
-        bh = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
-        pltpu.prng_seed(seed_ref[0], bh)
-        p = p * _keep_mask(p.shape, dropout_p) * (1.0 / (1.0 - dropout_p))
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0, 0, :, :] = o.astype(o_ref.dtype)
+
+    def body(hh, carry):
+        q = q_ref[0, hh, :, :]
+        k = k_ref[0, hh, :, :]
+        v = v_ref[0, hh, :, :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = jnp.where(pad[None, :] > 0.0, -1e9, s)
+        p = _softmax_rows(s)
+        if dropout_p > 0.0:
+            # same (b*H + h) stream ids as the per-(b,h)-program layout, so
+            # forward and backward regenerate identical masks
+            bh = (pl.program_id(0) * n_heads
+                  + pl.program_id(1) * heads_per + hh)
+            pltpu.prng_seed(seed_ref[0], bh)
+            p = p * _keep_mask(p.shape, dropout_p) * (1.0 / (1.0 - dropout_p))
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, hh, :, :] = o.astype(o_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, heads_per, body, 0)
 
 
 def _bwd_kernel(mask_ref, seed_ref, q_ref, k_ref, v_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, *, dropout_p: float):
-    q = q_ref[0, 0, :, :]
-    k = k_ref[0, 0, :, :]
-    v = v_ref[0, 0, :, :]
-    do = do_ref[0, 0, :, :]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+                dq_ref, dk_ref, dv_ref, *, dropout_p: float, n_heads: int,
+                heads_per: int):
     pad = mask_ref[0, 0, :]
-    s = jnp.where(pad[None, :] > 0.0, -1e9, s)
-    p = _softmax_rows(s)  # pre-dropout probs (f32)
-    if dropout_p > 0.0:
-        # identical seeding + generation order as the forward -> same mask
-        bh = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
-        pltpu.prng_seed(seed_ref[0], bh)
-        keep = _keep_mask(p.shape, dropout_p) * (1.0 / (1.0 - dropout_p))
-        pd = p * keep
-    else:
-        keep = None
-        pd = p
-    # dv = dropout(p)^T @ do
-    dv = jax.lax.dot_general(
-        pd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    # d(dropout(p)) = do @ v^T ; back through dropout scaling
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    if keep is not None:
-        dp = dp * keep
-    # softmax jvp: ds = p * (dp - sum_j dp*p)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    ds = ds.astype(q.dtype)
-    dq = jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dk = jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dq_ref[0, 0, :, :] = dq.astype(dq_ref.dtype)
-    dk_ref[0, 0, :, :] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0, :, :] = dv.astype(dv_ref.dtype)
+
+    def body(hh, carry):
+        q = q_ref[0, hh, :, :]
+        k = k_ref[0, hh, :, :]
+        v = v_ref[0, hh, :, :]
+        do = do_ref[0, hh, :, :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = jnp.where(pad[None, :] > 0.0, -1e9, s)
+        p = _softmax_rows(s)  # pre-dropout probs (f32)
+        if dropout_p > 0.0:
+            # identical seeding + generation order as the forward -> same mask
+            bh = (pl.program_id(0) * n_heads
+                  + pl.program_id(1) * heads_per + hh)
+            pltpu.prng_seed(seed_ref[0], bh)
+            keep = _keep_mask(p.shape, dropout_p) * (1.0 / (1.0 - dropout_p))
+            pd = p * keep
+        else:
+            keep = None
+            pd = p
+        # dv = dropout(p)^T @ do
+        dv = jax.lax.dot_general(
+            pd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # d(dropout(p)) = do @ v^T ; back through dropout scaling
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if keep is not None:
+            dp = dp * keep
+        # softmax jvp: ds = p * (dp - sum_j dp*p)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds = ds.astype(q.dtype)
+        dq = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq_ref[0, hh, :, :] = dq.astype(dq_ref.dtype)
+        dk_ref[0, hh, :, :] = dk.astype(dk_ref.dtype)
+        dv_ref[0, hh, :, :] = dv.astype(dv_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, heads_per, body, 0)
 
 
-def _specs(t, d):
+def _heads_per(h, t, d, n_bufs):
+    """Largest divisor of h whose blocks (+2x pipeline buffering) and (T,T)
+    temporaries stay under ~12 MB of the 16 MB scoped VMEM."""
+    budget = 12 * 2**20 - 3 * t * t * 4
+    cap = max(1, budget // max(1, n_bufs * t * d * 4 * 2))
+    hp = 1
+    for cand in range(1, h + 1):
+        if h % cand == 0 and cand <= cap:
+            hp = cand
+    return hp
+
+
+def _specs(t, d, hp):
     # trailing block dims equal the full (T, D) / (1, T) planes, which is
-    # always Mosaic-legal regardless of T/D alignment
-    qkv = pl.BlockSpec((1, 1, t, d), lambda i, j: (i, j, 0, 0),
+    # always Mosaic-legal regardless of T/D alignment; each program loops
+    # `hp` heads of one batch item (see _fwd_kernel)
+    qkv = pl.BlockSpec((1, hp, t, d), lambda i, j: (i, j, 0, 0),
                        memory_space=pltpu.VMEM)
     mask = pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -167,10 +208,12 @@ def _fused_attn(q, k, v, maskf, seed, dropout_p, interpret):
 
 def _fused_attn_fwd(q, k, v, maskf, seed, dropout_p, interpret):
     b, h, t, d = q.shape
-    qkv, mask, seed_spec = _specs(t, d)
+    hp = _heads_per(h, t, d, n_bufs=4)  # q,k,v,o blocks
+    qkv, mask, seed_spec = _specs(t, d, hp)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, dropout_p=dropout_p),
-        grid=(b, h),
+        functools.partial(_fwd_kernel, dropout_p=dropout_p, n_heads=h,
+                          heads_per=hp),
+        grid=(b, h // hp),
         in_specs=[mask, seed_spec, qkv, qkv, qkv],
         out_specs=qkv,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -182,10 +225,12 @@ def _fused_attn_fwd(q, k, v, maskf, seed, dropout_p, interpret):
 def _fused_attn_bwd(dropout_p, interpret, res, do):
     q, k, v, maskf, seed = res
     b, h, t, d = q.shape
-    qkv, mask, seed_spec = _specs(t, d)
+    hp = _heads_per(h, t, d, n_bufs=7)  # q,k,v,do,dq,dk,dv blocks
+    qkv, mask, seed_spec = _specs(t, d, hp)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, dropout_p=dropout_p),
-        grid=(b, h),
+        functools.partial(_bwd_kernel, dropout_p=dropout_p, n_heads=h,
+                          heads_per=hp),
+        grid=(b, h // hp),
         in_specs=[mask, seed_spec, qkv, qkv, qkv, qkv],
         out_specs=(qkv, qkv, qkv),
         out_shape=(
