@@ -650,27 +650,33 @@ def emit(metric, value, unit, vs_baseline, spread=None, **extra):
 def run_one(metric: str):
     if metric == "gradtts_e2e_wav_rtf_10step":
         rtf, sp = bench_tts(e2e=True)
-        emit(metric, rtf, "rtf", TARGET_RTF / rtf, sp)
+        emit(metric, rtf, "rtf", TARGET_RTF / rtf, sp,
+             baseline_kind="north_star_target")
     elif metric == "gradtts_e2e_wav_rtf_10step_bf16":
         rtf, sp = bench_tts(e2e=True, bf16=True)
-        emit(metric, rtf, "rtf", TARGET_RTF / rtf, sp)
+        emit(metric, rtf, "rtf", TARGET_RTF / rtf, sp,
+             baseline_kind="north_star_target")
     elif metric == "gradtts_rtf_10step":
         rtf, sp = bench_tts(e2e=False)
-        emit(metric, rtf, "rtf", TARGET_RTF / rtf, sp)
+        emit(metric, rtf, "rtf", TARGET_RTF / rtf, sp,
+             baseline_kind="north_star_target")
     elif metric == "gradtts_e2e_wav_rtf_dpm6":
         # DPM-Solver++(2M), 6 network calls — lands CLOSER to the many-step
         # limit than the 10-step euler default (tests/test_dpm_solver.py)
         rtf, sp = bench_tts(e2e=True, solver="dpm", n_steps=6)
-        emit(metric, rtf, "rtf", TARGET_RTF / rtf, sp)
+        emit(metric, rtf, "rtf", TARGET_RTF / rtf, sp,
+             baseline_kind="north_star_target")
     elif metric == "gradtts_e2e_throughput_b16":
         xrt = bench_tts_throughput()
         # baseline: the inverted north-star RTF (0.02 -> 50x realtime/chip)
-        emit(metric, xrt, "x_realtime", xrt / (1.0 / TARGET_RTF))
+        emit(metric, xrt, "x_realtime", xrt / (1.0 / TARGET_RTF),
+             baseline_kind="north_star_target")
     elif metric == "hifigan_throughput_b16":
         xrt = bench_hifigan_throughput()
         # the vendored HiFi-GAN README claims 167x realtime on V100
         # (Grad-TTS/hifi-gan/README.md:18-20) — vocoder-only, apples to apples
-        emit(metric, xrt, "x_realtime", xrt / 167.0)
+        emit(metric, xrt, "x_realtime", xrt / 167.0,
+             baseline_kind="vendored_readme_v100")
     elif metric == "gradtts_train_step_ms_fp32":
         ms, fl = bench_gradtts_train_step(bf16=False)
         # no published baseline; vs_baseline = steps/sec (informational)

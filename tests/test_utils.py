@@ -81,15 +81,86 @@ def test_typecheck_element_lattice():
     assert compare("mel", "mel") is Compat.SAME
     assert compare("mel", "spec") is Compat.LESS       # mel is-a spectrogram
     assert compare("spec", "mel") is Compat.GREATER
-    assert compare("logprobs", "logits") is Compat.LESS
+    # LogprobsType subclasses ElementType, NOT LogitsType (elements.py:150)
+    assert compare("logprobs", "logits") is Compat.INCOMPATIBLE
     assert compare("mel", "labels") is Compat.INCOMPATIBLE
     # spectrograms are NOT audio subtypes (SpectrogramType subclasses
     # ChannelType, not AudioSignal — reference elements.py:180-204): a mel
     # port must not be pluggable into a raw-waveform port
     assert compare("mel", "audio") is Compat.INCOMPATIBLE
     assert compare("spec", "audio") is Compat.INCOMPATIBLE
+    # ...but they ARE channel subtypes, transitively (elements.py:196-205)
+    assert compare("mel", "channel") is Compat.LESS
+    assert compare("embedding", "channel") is Compat.LESS  # Acoustic->Encoded->Channel
+    # void is compatible with everything (elements.py:125-132)
+    assert compare("void", "mel") is Compat.SAME
+    assert compare("labels", "void") is Compat.SAME
     with pytest.raises(TypecheckError):
         compare("mel", "nosuch")
+
+
+def test_port_type_algebra():
+    """Full NeuralType comparison parity: element type parameters, fields,
+    axis kinds/sizes, and the complete comparison-result set (reference
+    neural_type.py:72-108, elements.py:90-122, comparison.py:20-32)."""
+    from tpu_speech.utils.typing_contracts import (
+        Axis, AxisKind, Compat, Element, PortType, audio_signal,
+    )
+
+    # --- element type parameters (AudioSignal(freq), elements.py:180-193) ---
+    assert compare_el(audio_signal(16000), audio_signal(16000)) is Compat.SAME
+    assert (compare_el(audio_signal(16000), audio_signal(22050))
+            is Compat.SAME_TYPE_INCOMPATIBLE_PARAMS)
+    # None params are treated as void (elements.py:112-115)
+    assert compare_el(audio_signal(16000), audio_signal(None)) is Compat.SAME
+    # --- fields must match exactly (elements.py:118-122) ---
+    a = Element.of("element", fields=("x", "y", "w", "h"))
+    b = Element.of("element", fields=("x", "y", "w", "h"))
+    c = Element.of("element", fields=("x", "y"))
+    assert compare_el(a, b) is Compat.SAME
+    assert compare_el(a, c) is Compat.INCOMPATIBLE
+
+    # --- axis comparison (neural_type.py:151-199) ---
+    btd_mel = PortType.of(("B", "T", "D"), "mel")
+    bdt_mel = PortType.of(("B", "D", "T"), "mel")
+    bt_mel = PortType.of(("B", "T"), "mel")
+    # same axes: element result passes through
+    assert btd_mel.compare(PortType.of(("B", "T", "D"), "mel")) is Compat.SAME
+    assert btd_mel.compare(PortType.of(("B", "T", "D"), "spec")) is Compat.LESS
+    assert PortType.of(("B", "T", "D"), "spec").compare(btd_mel) is Compat.GREATER
+    # permuted axis kinds, same element -> TRANSPOSE_SAME
+    assert btd_mel.compare(bdt_mel) is Compat.TRANSPOSE_SAME
+    # permuted axis kinds, different element -> INCOMPATIBLE
+    assert btd_mel.compare(PortType.of(("B", "D", "T"), "spec")) is Compat.INCOMPATIBLE
+    # rank mismatch -> INCOMPATIBLE
+    assert btd_mel.compare(bt_mel) is Compat.INCOMPATIBLE
+    # same kinds, mismatched fixed size -> DIM_INCOMPATIBLE
+    sized = PortType.of((Axis(AxisKind.Batch), Axis(AxisKind.Dimension, 80)), "mel")
+    other = PortType.of((Axis(AxisKind.Batch), Axis(AxisKind.Dimension, 81)), "mel")
+    assert sized.compare(other) is Compat.DIM_INCOMPATIBLE
+    # Any axis kind matches anything (axes.py:43, neural_type.py:181-182)
+    anyax = PortType.of((Axis(AxisKind.Any), Axis(AxisKind.Any), Axis(AxisKind.Any)), "mel")
+    assert anyax.compare(btd_mel) is Compat.SAME
+    # "big void" (void element, no axes) matches anything (neural_type.py:79-81)
+    assert PortType.of(None, "void").compare(btd_mel) is Compat.SAME
+    # axes-less vs axes-ful -> INCOMPATIBLE (neural_type.py:83-87)
+    assert PortType.of(None, "loss").compare(btd_mel) is Compat.INCOMPATIBLE
+    assert PortType.of(None, "loss").compare(PortType.of(None, "loss")) is Compat.SAME
+
+    # --- wiring check accepts SAME and GREATER only (neural_type.py:110-119) ---
+    PortType.of(("B", "T", "D"), "spec").compare_and_raise("y", btd_mel)  # mel feeds spec? GREATER: ok
+    with pytest.raises(TypecheckError):
+        btd_mel.compare_and_raise("y", PortType.of(("B", "T", "D"), "spec"))
+
+    # list axes cannot have a fixed size (axes.py:87-89)
+    with pytest.raises(TypecheckError):
+        Axis(AxisKind.Batch, size=3, is_list=True)
+
+
+def compare_el(a, b):
+    from tpu_speech.utils.typing_contracts import compare_elements
+
+    return compare_elements(a, b)
 
 
 def test_typecheck_on_model_facades():
