@@ -566,17 +566,24 @@ def bench_input_pipeline(batch_size: int = 24, crop: int = 250000,
     state, t_synth = run_arm(
         (staged for _ in range(n_steps + warmup)), state)
 
-    # arm 2: the real loader, fresh batch each step
+    # arm 2: the real loader through the production prefetch stage — augment
+    # + device_put run in the producer thread, overlapped with compute
+    # (tpu_speech/data/prefetch.py; the same path spiral_runner.train_epoch
+    # uses)
+    from tpu_speech.data.prefetch import threaded_prefetch
+
     def loader_batches():
         n = 0
         while n < n_steps + warmup:
             for raw in loader:
                 if n >= n_steps + warmup:
                     return
-                yield jax.tree.map(jnp.asarray, augment(raw))
+                yield jax.device_put(
+                    jax.tree.map(jnp.asarray, augment(raw))
+                )
                 n += 1
 
-    state, t_loader = run_arm(loader_batches(), state)
+    state, t_loader = run_arm(threaded_prefetch(loader_batches), state)
     return t_synth / t_loader, t_loader * 1e3, t_synth * 1e3
 
 
@@ -624,7 +631,7 @@ def bench_streaming_chunk(chain: int = 16):
     @jax.jit
     def run_chain(st, windows):
         def body(st, w):
-            st, log_probs, _ = step(st, w, n_valid)
+            st, log_probs, _, _ = step(st, w, n_valid)
             return st, log_probs[:, -1, 0]
         st, out = jax.lax.scan(body, st, windows)
         return out
@@ -822,6 +829,18 @@ def main():
              if a.startswith("--out=")), None,
         )
         records = []
+
+        def _flush():
+            # written after EVERY metric so an interrupted sweep still
+            # leaves a valid (partial) artifact on disk
+            if out_path:
+                with open(out_path, "w") as f:
+                    json.dump({
+                        "device": jax.devices()[0].device_kind,
+                        "complete": len(records) == len(ALL_METRICS),
+                        "records": records,
+                    }, f, indent=1)
+
         for m in ALL_METRICS:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), f"--metric={m}"],
@@ -838,12 +857,7 @@ def main():
                 err = {"metric": m, "error": (proc.stderr or proc.stdout)[-200:]}
                 print(json.dumps(err), flush=True)
                 records.append(err)
-        if out_path:
-            with open(out_path, "w") as f:
-                json.dump({
-                    "device": jax.devices()[0].device_kind,
-                    "records": records,
-                }, f, indent=1)
+            _flush()
         return
     # default (driver contract): ONE line, the headline metric
     run_one("gradtts_e2e_wav_rtf_10step")

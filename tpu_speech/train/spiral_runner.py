@@ -457,29 +457,39 @@ class SpiralPretrainRunner:
     _val_fn = None
     _val_loader = None
 
-    def _augment(self, raw, micro_idx: int = 0):
+    def _augment(self, raw, micro_idx: int = 0, step_idx: int = None):
         # shift scalars seeded by (global step, micro index) so all processes
-        # agree (they are replicated leaves of the global batch)
+        # agree (they are replicated leaves of the global batch). step_idx is
+        # the step that will CONSUME the batch — under device prefetch the
+        # producer runs ahead of self.iteration, so it must be passed in.
+        if step_idx is None:
+            step_idx = self.iteration
         shift_rng = np.random.default_rng(
-            1_000_003 + self.iteration * self.accum + micro_idx
+            1_000_003 + step_idx * self.accum + micro_idx
         )
         return host_augment_batch(
             self.enc_cfg, raw["wavs"], raw["wav_lens"], raw["p_wavs"],
             raw["p_wav_lens"], self.spec_len, self.host_rng, shift_rng,
         )
 
-    def train_epoch(self, epoch: int):
-        losses, accs = [], []
-        t0, n_sec = time.time(), 0.0
+    def _device_batches(self):
+        """Yield (device_batch, audio_seconds) — augment, stack accumulation
+        micro-batches, and place on the mesh. Runs in the prefetch producer
+        thread (train_epoch wraps it in threaded_prefetch), so mask
+        generation and the ~50 MB/step host->device waveform transfer overlap
+        with the device executing earlier steps instead of serializing with
+        them — the role torch DataLoader workers + pin_memory play for the
+        reference (st2vec_pretrain.py:225-233)."""
         sr = self.cfg.model.train_ds.sample_rate
+        step_idx = self.iteration
         for raw in self.loader:
             if self.accum > 1:
                 # leftover micro-batches persist across epochs instead of
                 # being dropped; audio seconds are counted when consumed so
                 # the throughput log matches the steps actually executed
-                self._micro_buf.append(
-                    self._augment(raw, micro_idx=len(self._micro_buf))
-                )
+                self._micro_buf.append(self._augment(
+                    raw, micro_idx=len(self._micro_buf), step_idx=step_idx
+                ))
                 self._micro_sec += float(np.sum(raw["wav_lens"])) / sr
                 if len(self._micro_buf) < self.accum:
                     continue
@@ -487,12 +497,24 @@ class SpiralPretrainRunner:
                     lambda *xs: np.stack(xs), *self._micro_buf
                 )
                 self._micro_buf = []
-                n_sec += self._micro_sec
+                sec = self._micro_sec
                 self._micro_sec = 0.0
                 batch = shard_microbatches(self.mesh, batch)
             else:
-                n_sec += float(np.sum(raw["wav_lens"])) / sr
-                batch = shard_batch(self.mesh, self._augment(raw))
+                sec = float(np.sum(raw["wav_lens"])) / sr
+                batch = shard_batch(
+                    self.mesh, self._augment(raw, step_idx=step_idx)
+                )
+            yield batch, sec
+            step_idx += 1
+
+    def train_epoch(self, epoch: int):
+        from tpu_speech.data.prefetch import threaded_prefetch
+
+        losses, accs = [], []
+        t0, n_sec = time.time(), 0.0
+        for batch, sec in threaded_prefetch(self._device_batches):
+            n_sec += sec
             self.timer.tick("step")
             self.state, metrics = self.step_fn(
                 self.state, batch, step_rng(self.iteration, self.rng_impl)
@@ -858,8 +880,9 @@ class SpiralFinetuneRunner:
             rng=self.host_rng,
         )
 
-    def train_epoch(self, epoch: int):
-        losses = []
+    def _device_batches(self):
+        """Yield device-ready finetune batches; runs in the prefetch producer
+        thread (see SpiralPretrainRunner._device_batches)."""
         for raw in self.loader:
             batch = {k: v for k, v in raw.items() if k != "texts"}
             batch["time_mask"], batch["chan_mask"] = self._train_masks(
@@ -877,6 +900,13 @@ class SpiralFinetuneRunner:
                 batch = shard_microbatches(self.mesh, batch)
             else:
                 batch = shard_batch(self.mesh, batch)
+            yield batch
+
+    def train_epoch(self, epoch: int):
+        from tpu_speech.data.prefetch import threaded_prefetch
+
+        losses = []
+        for batch in threaded_prefetch(self._device_batches):
             self.state, metrics = self.step_fn(
                 self.state, batch, step_rng(self.iteration, self.rng_impl),
                 iteration=self.iteration,
