@@ -32,8 +32,37 @@ DESCRIPTIONS = {
     "diffvc_conversion_rtf_30step": "DiffVC 30-step `ml` conversion RTF",
     "spiral_streaming_chunk_ms": "streaming ASR per-chunk latency (1.28 s)",
     "spiral_input_pipeline_efficiency":
-        "loader-fed vs pre-staged step-rate ratio (gate >= 0.95)",
+        "loader-fed vs pre-staged step-rate ratio",
 }
+
+
+def _render_vs(r: dict) -> str:
+    """Render vs_baseline HONESTLY per baseline_kind.
+
+    `steps_per_sec`-kind records carry vs_baseline = 1000/ms — a RATE, not a
+    speedup ratio; `estimate`/`north_star_target` comparisons must say what
+    the denominator is so they never read as measured-baseline claims
+    (round-3 verdict: "0.35x" and "21.27x" both read as claims they aren't).
+    """
+    vs = r["vs_baseline"]
+    kind = r.get("baseline_kind", "")
+    if kind == "steps_per_sec":
+        return f"{vs:.2f} steps/s (no published baseline)"
+    if kind == "estimate":
+        return f"{vs:.2f}x vs A100-class *estimate*"
+    if kind == "north_star_target":
+        # the 0.02 RTF north star is defined for Grad-TTS serving
+        # (BASELINE.md); for other metrics it is only an informational yard
+        if r["metric"].startswith("gradtts"):
+            return f"{vs:.2f}x vs 0.02-RTF target"
+        return f"{vs:.2f}x vs 0.02-RTF yardstick (informational)"
+    if kind == "vendored_readme_v100":
+        return f"{vs:.2f}x vs 167x-realtime V100 claim"
+    if kind == "realtime_budget":
+        return f"{vs:.0f}x faster than realtime"
+    if kind.startswith("gate"):
+        return f"{vs:.2f}x vs gate"
+    return f"{vs:.2f}x ({kind})"
 
 
 def render(path: str) -> str:
@@ -52,11 +81,19 @@ def render(path: str) -> str:
             lines.append(f"| `{r['metric']}` | ERROR | | | {r['error'][:60]} |")
             continue
         val = f"{r['value']:.4g} {r['unit']}"
-        vs = f"{r['vs_baseline']:.2f}x ({r.get('baseline_kind', '')})"
+        vs = _render_vs(r)
         mfu = f"{r['mfu']*100:.1f}%" if "mfu" in r else ""
         notes = DESCRIPTIONS.get(r["metric"], "")
         if "chain" in r:
             notes += f" [chain {r['chain']}]"
+        if "host_efficiency" in r:
+            notes += (
+                f" — host-side gate {r['host_efficiency']:.3f} "
+                f"(host {r['host_ms']:.0f} ms vs step "
+                f"{r['prestaged_step_ms']:.0f} ms); raw ratio is bounded by "
+                f"the dev tunnel's {r['h2d_mbps']:.0f} MB/s H2D vs the "
+                f"{r['required_mbps']:.0f} MB/s the payload needs"
+            )
         lines.append(f"| `{r['metric']}` | {val} | {vs} | {mfu} | {notes} |")
     return "\n".join(lines)
 

@@ -17,8 +17,12 @@ cli/run_spiral.py exactly as a user would:
      pre-finetune model (pretrained encoder, random decoder);
   4. the artifacts exist: train.log loss curves, wer_diagnosis.html.
 
-Budgets (~25 epochs x 15 steps per arm) were calibrated on this corpus:
-pretrained-init reaches ~0.05 WER where same-budget scratch sits ~0.5.
+Budgets (35 pretrain epochs, 25 finetune epochs x 15 steps per arm) were
+calibrated on this corpus: pretrained-init reaches ~0.05-0.25 WER where
+same-budget scratch sits ~0.5 (the finetune trajectory on the toy budget is
+chaotic — a 1e-7 init perturbation moves WER within that band, so the
+absolute gate is a sanity cap; the transfer gates vs the scratch and
+no-finetune controls are the real test).
 """
 
 import io
@@ -71,20 +75,24 @@ def test_spiral_trains_to_quality(tmp_path):
         "--config_name=spiral_toy_quality",
         "--model_save_dir", logs_pre,
         "--model_type=st2vec",
-        "--max_epochs=25",
+        "--max_epochs=35",
         "--resume_if_exists=false",
     ] + sets)
     log_text = open(os.path.join(logs_pre, "train.log")).read()
     losses = [float(x) for x in re.findall(r"Epoch \d+: loss = ([\d.]+)",
                                            log_text)]
-    assert len(losses) == 25, log_text
+    assert len(losses) == 35, log_text
     # contrastive loss decreases and stays down (compare epoch means, not
     # single steps): last-5 mean well below first-epoch loss
     assert np.mean(losses[-5:]) < losses[0] - 0.15, losses
     # collapse diagnostics healthy: off-diagonal self-similarity of the
     # student predictions must not approach 1 (a collapsed representation
     # maps every frame to the same vector; st2vec_model.py:287-312)
-    sims = [float(x) for x in re.findall(r"self_sim = ([-\d.]+)", log_text)]
+    # (?<!target_): match the STUDENT self-similarity only — the plain
+    # substring also caught target_self_sim, and the EMA teacher's
+    # self-similarity is legitimately high on the self-similar tone corpus
+    sims = [float(x)
+            for x in re.findall(r"(?<!target_)self_sim = ([-\d.]+)", log_text)]
     assert sims, log_text
     assert max(sims) < 0.98, sims
 

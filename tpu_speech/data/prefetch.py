@@ -10,11 +10,18 @@ role the reference hides inside torch DataLoader worker processes +
 pin_memory/non_blocking H2D, SPIRAL st2vec_pretrain.py:225-233).
 
 `threaded_prefetch` runs an arbitrary batch-producing generator in a daemon
-thread with a bounded queue of DEVICE-READY batches: while the device runs
-step i, the background thread is already augmenting + transferring batch
-i+1/i+2. Transfers are issued from the producer thread (jax.device_put is
-thread-safe and async), so by the time the consumer dispatches the step its
-operands are resident.
+thread with a bounded queue of batches: while the device runs step i, the
+background thread is already augmenting + issuing the transfer of batch
+i+1/i+2 (jax.device_put is thread-safe and async).
+
+What this stage can and cannot hide (measured, round 4): it OVERLAPS the
+producer's host work (wav read + collate + augment + device_put issue,
+~50-90 ms/batch at SPIRAL-base shapes) with device compute — the role the
+reference fills with DataLoader worker processes. It cannot make the
+host->device link faster: if per-step payload / step-time exceeds the H2D
+bandwidth (as on the tunneled dev harness: 48 MB / 91 ms needs ~530 MB/s
+against a measured ~47 MB/s link), the pipeline is link-bound no matter the
+prefetch depth; on real TPU hosts PCIe provides GB/s and depth 2 suffices.
 """
 
 from __future__ import annotations
@@ -44,18 +51,29 @@ def threaded_prefetch(make_gen: Callable[[], Iterator[T]],
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
     stop = threading.Event()
 
+    def _put(item) -> bool:
+        """put that never deadlocks against a departed consumer: poll the
+        stop flag while waiting for queue space (round-3 advice: a producer
+        exception on a full queue leaked the thread forever)."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for item in make_gen():
                 if stop.is_set():
                     return
-                q.put(item)
-                if stop.is_set():
+                if not _put(item):
                     return
         except BaseException as e:  # surface to the consumer
-            q.put(e)
+            _put(e)
             return
-        q.put(_SENTINEL)
+        _put(_SENTINEL)
 
     thread = threading.Thread(
         target=producer, daemon=True, name="device-prefetch"
@@ -70,9 +88,13 @@ def threaded_prefetch(make_gen: Callable[[], Iterator[T]],
                 raise item
             yield item
     finally:
+        # deterministic teardown on ANY exit (break, exception, exhaustion):
+        # signal the producer, then drain queued device batches so up to
+        # `depth` batches of HBM are released now, not at GC time.
         stop.set()
-        # unblock a producer stuck on q.put so the thread can exit
-        try:
-            q.get_nowait()
-        except queue.Empty:
-            pass
+        while True:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        thread.join(timeout=5.0)

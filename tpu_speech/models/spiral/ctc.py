@@ -171,7 +171,9 @@ def make_finetune_step(model: CTCFinetuneModel, cfg: ST2VecConfig, tx,
     state_shardings: NamedSharding pytree from parallel.mesh.fsdp_shardings —
     pins the updated state to its ZeRO-style placement through the donated
     jit (see train/spiral.py::make_pretrain_step)."""
-    mask_emb = jnp.asarray(gaussian_mask_emb(cfg.num_features))
+    # numpy, not device array: a device-array closure constant forces a
+    # blocking host fetch at lowering time (see train/spiral.py note)
+    mask_emb = np.asarray(gaussian_mask_emb(cfg.num_features))
 
     def loss_fn(params, batch_stats, batch, rng, freeze: bool):
         if bf16:

@@ -273,11 +273,21 @@ def make_stream_step(model, params: Dict[str, Any],
     fb_np = mel_filterbank(
         feat.sample_rate, feat.n_fft, feat.nfilt, 0.0, feat.sample_rate / 2
     )
-    window_dev = jnp.asarray(window_np)
-    fb_dev = jnp.asarray(fb_np)
+    # keep as numpy: device arrays closed over by the jitted step would be
+    # fetched back at lowering (blocking round trip on remote harnesses)
+    window_dev = window_np.astype(np.float32)
+    fb_dev = fb_np.astype(np.float32)
 
-    eparams = params["encoder"]["feature_encoder"]
-    dparams = params["decoder"]
+    # NOTE: the param trees are NOT closed over by the jitted step — they are
+    # threaded through as jit arguments (see the wrapper at the bottom).
+    # Closing over ~100 M device-array params inlines them as program
+    # CONSTANTS at lowering: a ~400 MB MLIR module that exceeds remote
+    # compile request limits (observed HTTP 413) and forces a blocking
+    # host fetch per leaf.
+    all_params = {
+        "enc": params["encoder"]["feature_encoder"],
+        "dec": params["decoder"],
+    }
 
     # static per-block geometry
     blocks = []
@@ -337,7 +347,8 @@ def make_stream_step(model, params: Dict[str, Any],
             in_ch = c.filters
         return st
 
-    def step(state, window, n_valid):
+    def step(p, state, window, n_valid):
+        eparams, dparams = p["enc"], p["dec"]
         feats = _logmel_window(feat, window_dev, fb_dev, window)  # (B,chunk,M)
         fvalid = (
             jnp.arange(chunk)[None, :] < n_valid[:, None]
@@ -413,7 +424,12 @@ def make_stream_step(model, params: Dict[str, Any],
         log_probs = jax.nn.log_softmax(logits, axis=-1)
         return new_state, log_probs, jnp.argmax(log_probs, axis=-1), lens
 
-    return init_state, jax.jit(step)
+    jit_step = jax.jit(step)
+
+    def bound_step(state, window, n_valid):
+        return jit_step(all_params, state, window, n_valid)
+
+    return init_state, bound_step
 
 
 class StreamingTranscriber:

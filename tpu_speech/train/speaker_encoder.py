@@ -27,7 +27,8 @@ class GE2EState:
 
 
 def init_ge2e_state(model: SpeakerEncoder, rng, n_frames: int, n_mels: int, tx):
-    params = model.init(rng, jnp.zeros((1, n_frames, n_mels)))["params"]
+    params = jax.jit(model.init)(
+        rng, jnp.zeros((1, n_frames, n_mels)))["params"]
     sim_w = jnp.asarray(10.0)
     sim_b = jnp.asarray(-5.0)
     full = {"model": params, "sim_weight": sim_w, "sim_bias": sim_b}

@@ -45,7 +45,10 @@ class SpiralTrainState:
 def init_spiral_state(model: ST2VecEncoder, rng, spec_shape, tx):
     specs = jnp.zeros(spec_shape)
     lens = jnp.full((spec_shape[0],), spec_shape[1], dtype=jnp.int32)
-    variables = model.init(
+    # ONE jitted program: eager Module.init dispatches every param
+    # initializer as its own compiled call — hundreds of round trips on a
+    # remote-compile harness (measured: minutes vs seconds)
+    variables = jax.jit(model.init, static_argnames=("train",))(
         {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
         specs, lens, train=False,
     )
@@ -89,7 +92,10 @@ def make_pretrain_step(model: ST2VecEncoder, cfg: ST2VecConfig, tx,
     from tpu_speech.parallel.mesh import seq_constrainer
 
     seq_c = seq_constrainer(mesh)
-    mask_emb = jnp.asarray(gaussian_mask_emb(cfg.num_features))
+    # keep host constants as NUMPY: a device array closed over by a jitted fn
+    # is fetched back host-side at lowering time (ir_constant -> ._value),
+    # a blocking round trip on remote-device harnesses; np lowers directly
+    mask_emb = np.asarray(gaussian_mask_emb(cfg.num_features))
 
     def _cast(tree, dtype):
         return jax.tree.map(

@@ -45,7 +45,8 @@ def host_time_mask(cfg: Wav2Vec2Config, wav_lens: np.ndarray, max_frames: int,
 def init_wav2vec_state(model: Wav2Vec2Model, rng, input_shape, tx):
     wavs = jnp.zeros(input_shape)
     lens = jnp.full((input_shape[0],), input_shape[1], dtype=jnp.int32)
-    params = model.init(
+    # jitted: eager Module.init is one remote compile per param initializer
+    params = jax.jit(model.init)(
         {"params": rng, "dropout": rng, "gumbel": rng}, wavs, lens,
     )
     return TrainState.create(params, tx)
