@@ -328,7 +328,9 @@ def bench_gradtts_train_step(bf16: bool = False, batch_size: int = 16,
 
         return jax.lax.scan(body, st, jnp.arange(chain))
 
-    base_key = jax.random.PRNGKey(0)
+    # rbg: hardware RngBitGenerator for dropout bits, the cli/train.py
+    # production default (threefry loop fusions measured 3.7 ms/step here)
+    base_key = jax.random.key(0, impl="rbg")
     flops = _chain_flops(run_chain, state, batch, base_key)
     for i in range(2):
         state, losses = run_chain(state, batch, jax.random.fold_in(base_key, i))

@@ -75,7 +75,7 @@ def main():
             return st, m["loss"]
         return jax.lax.scan(it, st, jnp.arange(args.chain))
 
-    base_key = jax.random.PRNGKey(0)
+    base_key = jax.random.key(0, impl="rbg")  # cli/train.py default
     state, losses = run_chain(state, batch, jax.random.fold_in(base_key, 0))
     jax.device_get(losses)
 

@@ -13,6 +13,8 @@ import math
 from typing import Sequence
 
 import flax.linen as nn
+import jax
+import numpy as np
 import jax.numpy as jnp
 
 from tpu_speech.nn.convops import conv2d, conv_transpose2d
@@ -97,6 +99,29 @@ class ResnetBlock(nn.Module):
         return h + res
 
 
+class _QKVProj(nn.Module):
+    """One (C, 3*hidden) 'kernel' param (identical tree/init to the fused
+    ``nn.Dense(3*hidden, use_bias=False)``), applied as three separate
+    matmuls so the (B,F,T,3*hidden) intermediate is never materialized."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.linear.default_kernel_init,
+            (c, 3 * self.hidden),
+            jnp.float32,
+        ).astype(x.dtype)
+        h = self.hidden
+        return tuple(
+            x @ jax.lax.slice_in_dim(kernel, i * h, (i + 1) * h, axis=1)
+            for i in range(3)
+        )
+
+
 class LinearAttention(nn.Module):
     """Softmax-free linear attention over the (F, T) grid (diffusion.py:82-100)."""
 
@@ -107,12 +132,33 @@ class LinearAttention(nn.Module):
     def __call__(self, x):
         b, f, t, c = x.shape
         hidden = self.heads * self.dim_head
-        qkv = nn.Dense(3 * hidden, use_bias=False, name="to_qkv")(x)
-        qkv = qkv.reshape(b, f * t, 3, self.heads, self.dim_head)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
-        k = nn.softmax(k, axis=1)  # softmax over spatial positions
-        context = jnp.einsum("bnhd,bnhe->bhde", k, v)
-        out = jnp.einsum("bhde,bnhd->bnhe", context, q)
+        # ONE stored (C, 3HD) kernel (checkpoint-compatible with the fused
+        # Dense; channel layout [qkv, head, d] like the reference rearrange
+        # 'b (qkv heads c) h w -> ...'), applied as three N=HD matmuls: the
+        # fused projection + reshape/slice materialized ~9.6 ms/step of
+        # pure data formatting at the train operating point (round-4
+        # trace); slicing the small KERNEL instead of the big activation
+        # costs nothing and each matmul's N=128 fills the lanes.
+        q, k, v = _QKVProj(hidden=hidden, name="to_qkv")(x)
+        # per-head contractions WITHOUT splitting the 128-wide channel dim:
+        # reshaping (.., H*D) -> (.., H, 32) breaks the minormost dim below
+        # the 128 lanes (measured ~6 ms/step of reshape copies + 32x32
+        # matmuls at ~6% MXU fill). Instead contract the full H*D axis —
+        # one (HD, HD) context at full lane width — and zero the cross-head
+        # blocks with a block-diagonal mask: identical math, and the extra
+        # FLOPs live on a tiny (b, HD, HD) op.
+        n = f * t
+        q = q.reshape(b, n, hidden)
+        k = k.reshape(b, n, hidden)
+        v = v.reshape(b, n, hidden)
+        k = nn.softmax(k, axis=1)  # per-channel over spatial positions
+        blockmask = np.kron(
+            np.eye(self.heads, dtype=np.float32),
+            np.ones((self.dim_head, self.dim_head), dtype=np.float32),
+        )
+        context = jnp.einsum("bnx,bny->bxy", k, v)
+        context = context * jnp.asarray(blockmask, dtype=context.dtype)
+        out = jnp.einsum("bxy,bnx->bny", context, q)
         out = out.reshape(b, f, t, hidden)
         return nn.Dense(c, name="to_out")(out)
 
