@@ -134,3 +134,69 @@ def test_dropout_on_chip(rng):
         )
     )
     assert float(jnp.abs(g(q) - g(q)).max()) == 0.0
+
+
+# ---- merged-qkv plane kernel (round 4) ----
+
+def _qkv_inputs(rng, b=2, t=24, h=4, d=16):
+    e = h * d
+    qkv = jnp.asarray(rng.normal(size=(b, t, 3 * e)), jnp.float32)
+    mask = jnp.asarray(rng.random((b, t)) < 0.3)
+    return qkv, mask, h, d
+
+
+def _xla_qkv_attention(qkv, n_heads, mask):
+    b, t, e3 = qkv.shape
+    e = e3 // 3
+    d = e // n_heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    qh = q.reshape(b, t, n_heads, d)
+    kh = k.reshape(b, t, n_heads, d)
+    vh = v.reshape(b, t, n_heads, d)
+    return _xla_attention(qh, kh, vh, mask).reshape(b, t, e)
+
+
+def test_qkv_forward_matches_xla(rng):
+    from tpu_speech.ops.fused_attention import fused_qkv_self_attention
+
+    qkv, mask, h, d = _qkv_inputs(rng)
+    out = fused_qkv_self_attention(qkv, h, mask, interpret=True)
+    ref = _xla_qkv_attention(qkv, h, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_qkv_gradients_match_xla(rng):
+    from tpu_speech.ops.fused_attention import fused_qkv_self_attention
+
+    qkv, mask, h, d = _qkv_inputs(rng)
+
+    def f_fused(qkv):
+        return jnp.sum(
+            fused_qkv_self_attention(qkv, h, mask, interpret=True) ** 2)
+
+    def f_ref(qkv):
+        return jnp.sum(_xla_qkv_attention(qkv, h, mask) ** 2)
+
+    g1 = jax.grad(f_fused)(qkv)
+    g2 = jax.grad(f_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=5e-5, rtol=5e-5)
+
+
+def test_qkv_matches_per_head_kernel(rng):
+    """The merged-plane kernel must equal the (B,T,H,D) kernel exactly
+    (same math, different data layout)."""
+    from tpu_speech.ops.fused_attention import fused_qkv_self_attention
+
+    qkv, mask, h, d = _qkv_inputs(rng)
+    b, t, e3 = qkv.shape
+    e = e3 // 3
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    out_old = fused_self_attention(
+        q.reshape(b, t, h, d), k.reshape(b, t, h, d),
+        v.reshape(b, t, h, d), mask, interpret=True,
+    ).reshape(b, t, e)
+    out_new = fused_qkv_self_attention(qkv, h, mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_new), np.asarray(out_old),
+                               atol=1e-6, rtol=1e-6)

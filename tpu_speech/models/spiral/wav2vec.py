@@ -132,7 +132,8 @@ class MultiheadSelfAttention(nn.Module):
                  attn_mask=None):
         from tpu_speech.ops.fused_attention import (
             fused_attention_supported,
-            fused_self_attention,
+            fused_qkv_self_attention,
+            fused_qkv_supported,
         )
 
         d_head = self.embed_dim // self.num_heads
@@ -140,24 +141,24 @@ class MultiheadSelfAttention(nn.Module):
         # separate dots, and three (B*T, D)x(D, D) launches underfill the MXU
         # vs one (B*T, D)x(D, 3D). Param tree/names stay exactly nn.Dense's
         # ({q,k,v}_proj/{kernel,bias}) so converters and checkpoints are
-        # untouched; the concat is fused into the dot by XLA.
+        # untouched; the concat is fused into the dot by XLA. The q third's
+        # d_head**-0.5 scale is folded into the weights (free at trace
+        # time) so no separate q-scaling pass over (B,T,E) exists.
         ws, bs = zip(*[
             _ProjParams(self.embed_dim, name=n)(x.shape[-1])
             for n in ("q_proj", "k_proj", "v_proj")
         ])
-        qkv_w = jnp.concatenate(ws, axis=1)
-        qkv_b = jnp.concatenate(bs, axis=0)
+        scale = d_head ** -0.5
+        qkv_w = jnp.concatenate([ws[0] * scale, ws[1], ws[2]], axis=1)
+        qkv_b = jnp.concatenate([bs[0] * scale, bs[1], bs[2]], axis=0)
         qkv = x @ qkv_w.astype(x.dtype) + qkv_b.astype(x.dtype)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q * (d_head**-0.5)
         b, t, _ = x.shape
-        qh = q.reshape(b, t, self.num_heads, d_head)
-        kh = k.reshape(b, t, self.num_heads, d_head)
-        vh = v.reshape(b, t, self.num_heads, d_head)
 
         use_fused = (
             self.fused if self.fused is not None
-            else fused_attention_supported(t)
+            else (fused_attention_supported(t)
+                  and fused_qkv_supported(t, self.embed_dim,
+                                          qkv.dtype.itemsize))
         )
         if attn_mask is not None:
             # structured (e.g. chunked-streaming) masks run the unfused path
@@ -172,11 +173,19 @@ class MultiheadSelfAttention(nn.Module):
                     self.make_rng("dropout"), (), 0, 2**31 - 1,
                     dtype=jnp.int32,
                 )
-            out = fused_self_attention(
-                qh, kh, vh, key_padding_mask, dropout_p=drop_p,
+            # merged-plane kernel: heads are static column slices in VMEM,
+            # the gradient returns as one (B,T,3E) plane — no split/
+            # reshape/transpose copies on either side of the custom call
+            # (round-4 trace: ~7.6 ms/step of zero-FLOP formatting here)
+            out = fused_qkv_self_attention(
+                qkv, self.num_heads, key_padding_mask, dropout_p=drop_p,
                 dropout_seed=seed, interpret=self.fused_interpret,
-            ).reshape(b, t, self.embed_dim)
+            )
         else:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            qh = q.reshape(b, t, self.num_heads, d_head)
+            kh = k.reshape(b, t, self.num_heads, d_head)
+            vh = v.reshape(b, t, self.num_heads, d_head)
             scores = jnp.einsum("bthd,bshd->bhts", qh, kh)
             if attn_mask is not None:  # True = allowed, (T, T)
                 scores = jnp.where(

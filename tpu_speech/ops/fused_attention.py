@@ -52,7 +52,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_self_attention", "fused_attention_supported", "MAX_T"]
+__all__ = [
+    "fused_self_attention",
+    "fused_qkv_self_attention",
+    "fused_attention_supported",
+    "MAX_T",
+]
 
 # one (T, T) f32 tile x ~5 live in the bwd kernel + vectors must fit VMEM
 MAX_T = 768
@@ -244,6 +249,188 @@ def _fused_attn_bwd(dropout_p, interpret, res, do):
 
 
 _fused_attn.defvjp(_fused_attn_fwd, _fused_attn_bwd)
+
+
+def _qkv_fwd_kernel(mask_ref, seed_ref, qkv_ref, o_ref, *,
+                    dropout_p: float, n_heads: int, d_head: int):
+    """One program per batch item; the (T, 3E) qkv plane sits in VMEM and
+    heads are STATIC column slices of it — no (B,T,H,D) layout ever exists,
+    so the caller-side split/reshape/transpose copies disappear (measured
+    ~7.6 ms/step of zero-FLOP formatting at SPIRAL-base, round-4 trace)."""
+    pad = mask_ref[0, 0, :]
+    e = n_heads * d_head
+    for hh in range(n_heads):  # static unroll -> static lane offsets
+        q = qkv_ref[0, :, hh * d_head:(hh + 1) * d_head]
+        k = qkv_ref[0, :, e + hh * d_head:e + (hh + 1) * d_head]
+        v = qkv_ref[0, :, 2 * e + hh * d_head:2 * e + (hh + 1) * d_head]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = jnp.where(pad[None, :] > 0.0, -1e9, s)
+        p = _softmax_rows(s)
+        if dropout_p > 0.0:
+            # same (b*H + h) stream ids as the (B,T,H,D) kernel
+            bh = pl.program_id(0) * n_heads + hh
+            pltpu.prng_seed(seed_ref[0], bh)
+            p = p * _keep_mask(p.shape, dropout_p) * (1.0 / (1.0 - dropout_p))
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, hh * d_head:(hh + 1) * d_head] = o.astype(o_ref.dtype)
+
+
+def _qkv_bwd_kernel(mask_ref, seed_ref, qkv_ref, do_ref, dqkv_ref, *,
+                    dropout_p: float, n_heads: int, d_head: int):
+    pad = mask_ref[0, 0, :]
+    e = n_heads * d_head
+    for hh in range(n_heads):
+        q = qkv_ref[0, :, hh * d_head:(hh + 1) * d_head]
+        k = qkv_ref[0, :, e + hh * d_head:e + (hh + 1) * d_head]
+        v = qkv_ref[0, :, 2 * e + hh * d_head:2 * e + (hh + 1) * d_head]
+        do = do_ref[0, :, hh * d_head:(hh + 1) * d_head]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = jnp.where(pad[None, :] > 0.0, -1e9, s)
+        p = _softmax_rows(s)
+        if dropout_p > 0.0:
+            bh = pl.program_id(0) * n_heads + hh
+            pltpu.prng_seed(seed_ref[0], bh)
+            keep = _keep_mask(p.shape, dropout_p) * (1.0 / (1.0 - dropout_p))
+            pd = p * keep
+        else:
+            keep = None
+            pd = p
+        dv = jax.lax.dot_general(
+            pd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if keep is not None:
+            dp = dp * keep
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds = ds.astype(q.dtype)
+        dq = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dqkv_ref[0, :, hh * d_head:(hh + 1) * d_head] = (
+            dq.astype(dqkv_ref.dtype))
+        dqkv_ref[0, :, e + hh * d_head:e + (hh + 1) * d_head] = (
+            dk.astype(dqkv_ref.dtype))
+        dqkv_ref[0, :, 2 * e + hh * d_head:2 * e + (hh + 1) * d_head] = (
+            dv.astype(dqkv_ref.dtype))
+
+
+def _qkv_specs(t, e3):
+    plane = pl.BlockSpec((1, t, e3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.BlockSpec((1, t, e3 // 3), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    mask = pl.BlockSpec((1, 1, t), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    seed = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return plane, out, mask, seed
+
+
+def fused_qkv_supported(t: int, e: int, itemsize: int = 4,
+                        backend: Optional[str] = None) -> bool:
+    """True when the whole-plane (T,3E) kernel fits the scoped-VMEM budget
+    (worst case: backward holds qkv + do + dqkv planes + ~4 (T,T) f32
+    temporaries)."""
+    if not fused_attention_supported(t, backend):
+        return False
+    planes = (3 * e + e + 3 * e) * t * itemsize  # qkv + do + dqkv
+    temps = 4 * t * t * 4
+    return planes + temps < 12 * 2**20
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused_qkv_attn(qkv, maskf, seed, n_heads, dropout_p, interpret):
+    return _fused_qkv_attn_fwd(
+        qkv, maskf, seed, n_heads, dropout_p, interpret)[0]
+
+
+def _fused_qkv_attn_fwd(qkv, maskf, seed, n_heads, dropout_p, interpret):
+    b, t, e3 = qkv.shape
+    e = e3 // 3
+    plane, out_spec, mask, seed_spec = _qkv_specs(t, e3)
+    out = pl.pallas_call(
+        functools.partial(_qkv_fwd_kernel, dropout_p=dropout_p,
+                          n_heads=n_heads, d_head=e // n_heads),
+        grid=(b,),
+        in_specs=[mask, seed_spec, plane],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, t, e), qkv.dtype),
+        interpret=interpret,
+    )(maskf, seed, qkv)
+    return out, (qkv, maskf, seed)
+
+
+def _fused_qkv_attn_bwd(n_heads, dropout_p, interpret, res, do):
+    qkv, maskf, seed = res
+    b, t, e3 = qkv.shape
+    e = e3 // 3
+    plane, out_spec, mask, seed_spec = _qkv_specs(t, e3)
+    dqkv = pl.pallas_call(
+        functools.partial(_qkv_bwd_kernel, dropout_p=dropout_p,
+                          n_heads=n_heads, d_head=e // n_heads),
+        grid=(b,),
+        in_specs=[mask, seed_spec, plane, out_spec],
+        out_specs=plane,
+        out_shape=jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+        interpret=interpret,
+    )(maskf, seed, qkv, do)
+    return dqkv, None, None
+
+
+_fused_qkv_attn.defvjp(_fused_qkv_attn_fwd, _fused_qkv_attn_bwd)
+
+
+def fused_qkv_self_attention(
+    qkv: jnp.ndarray,
+    n_heads: int,
+    key_padding_mask: Optional[jnp.ndarray] = None,
+    dropout_p: float = 0.0,
+    dropout_seed: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Merged-projection variant: qkv (B, T, 3E) -> out (B, T, E).
+
+    The q third must already carry the d_head**-0.5 scale (fold it into the
+    q slice of the merged projection weight/bias — free at trace time).
+    Heads are static column slices inside the kernel; the gradient comes
+    back as one (B, T, 3E) plane, exactly the operand layout the merged
+    projection's backward matmul wants. Semantics (masking, f32 softmax,
+    per-(b,h) dropout streams) match fused_self_attention."""
+    b, t, e3 = qkv.shape
+    if not interpret and not fused_qkv_supported(
+            t, e3 // 3, qkv.dtype.itemsize):
+        raise ValueError(
+            f"fused qkv attention unsupported here (T={t}, 3E={e3})"
+        )
+    if key_padding_mask is None:
+        maskf = jnp.zeros((b, 1, t), dtype=jnp.float32)
+    else:
+        maskf = key_padding_mask.astype(jnp.float32).reshape(b, 1, t)
+    if dropout_p > 0.0:
+        if dropout_seed is None:
+            raise ValueError("dropout_p > 0 requires dropout_seed")
+        seed = jnp.asarray(dropout_seed, dtype=jnp.int32).reshape(1)
+    else:
+        seed = jnp.zeros((1,), dtype=jnp.int32)
+    return _fused_qkv_attn(
+        qkv, maskf, seed, n_heads, float(dropout_p), interpret)
 
 
 def fused_self_attention(
