@@ -11,7 +11,11 @@ RngBitGenerator plus the associated score/prob/mask HBM round-trips.
 Round-3 re-measurement (post-merge step at 90.1 ms fp32): the fused path's
 custom-calls cost 11.9 ms/step and an A/B with the kernel DISABLED
 (TPU_SPEECH_DISABLE_FUSED_ATTN=1) runs 102.8 ms — the kernel is worth a
-measured 12.7 ms/step. Current per-phase numbers live in the README
+measured 12.7 ms/step. Round 4 added the merged-plane variant
+(fused_qkv_self_attention): the kernel consumes the (B, T, 3E) merged
+projection directly and emits a (B, T, 3E) gradient, deleting the
+split/scale/reshape/transpose seam the round-3 trace charged ~7.6 ms/step
+(step 93.2 -> 79.5 ms fp32). Current per-phase numbers live in the README
 "SPIRAL step attribution" (from scripts/trace_spiral_step.py).
 
 Design: sequence lengths here are short (T <= 768 after conv subsampling),
