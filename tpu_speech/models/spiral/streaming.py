@@ -429,6 +429,12 @@ def make_stream_step(model, params: Dict[str, Any],
     def bound_step(state, window, n_valid):
         return jit_step(all_params, state, window, n_valid)
 
+    # do NOT wrap bound_step in another jit or a lax.scan: tracing through
+    # the wrapper re-captures the param trees as program CONSTANTS, which
+    # is exactly the oversized-program failure this structure avoids.
+    # Exposed for tests (tests/test_no_device_constants.py):
+    bound_step._jit_step = jit_step
+    bound_step._params = all_params
     return init_state, bound_step
 
 
