@@ -618,6 +618,7 @@ class SpiralFinetuneRunner:
                 m.train_ds.manifest_filepath, tokenizer, sample_rate=sr,
                 crop_size=max_samples, min_duration=m.train_ds.min_duration,
                 max_duration=m.train_ds.max_duration,
+                dup_factor=getattr(m.train_ds, "dup_factor", 1),
             )
         self.collate = AudioTextBatchCollate(max_samples, 512)
         local_batch = m.train_ds.batch_size * jax.local_device_count()
