@@ -428,7 +428,8 @@ def bench_ctc_finetune_step(bf16: bool = False, batch_size: int = 14,
 
 
 def bench_diffvc_conversion(n_steps: int = 30, mode: str = "ml",
-                            frames: int = 256, chain: int = 8):
+                            frames: int = 256, chain: int = 8,
+                            bf16: bool = False):
     """30-step `ml` voice conversion RTF at the production dims
     (cli/params_vc.py) — the reference's de-facto conversion perf surface
     (DiffVC/inference.ipynb cell 7: n_timesteps=30, mode='ml'). One chained
@@ -447,6 +448,14 @@ def bench_diffvc_conversion(n_steps: int = 30, mode: str = "ml",
         jax.random.PRNGKey(0), x, xl, x_ref, c, jax.random.PRNGKey(1),
         train=True,
     )
+    if bf16:
+        # bf16 serving: params + inputs cast, the U-Net follows the input
+        # dtype. RTF-only variant — the fidelity gates (README) are stated
+        # for fp32 serving.
+        params = _cast_bf16(params)
+        x = x.astype(jnp.bfloat16)
+        x_ref = x_ref.astype(jnp.bfloat16)
+        c = c.astype(jnp.bfloat16)
 
     @jax.jit
     def convert_chain(p, x, xl, x_ref, c, rng):
@@ -829,6 +838,10 @@ def run_one(metric: str):
         # configs share the serving budget); informational target
         emit(metric, rtf, "rtf", TARGET_RTF / rtf, sp, chain=8,
              baseline_kind="north_star_target")
+    elif metric == "diffvc_conversion_rtf_30step_bf16":
+        rtf, sp = bench_diffvc_conversion(bf16=True)
+        emit(metric, rtf, "rtf", TARGET_RTF / rtf, sp, chain=8,
+             baseline_kind="north_star_target")
     elif metric == "spiral_streaming_chunk_ms":
         ms = bench_streaming_chunk()
         # realtime budget: 1.28 s of audio per chunk; vs_baseline = how many
@@ -926,6 +939,7 @@ ALL_METRICS = (
     "ctc_finetune_step_ms_bucket13s",
     "ctc_finetune_step_ms_pad24_bf16",
     "diffvc_conversion_rtf_30step",
+    "diffvc_conversion_rtf_30step_bf16",
     "spiral_streaming_chunk_ms",
     "spiral_input_pipeline_efficiency",
 )

@@ -30,6 +30,7 @@ DESCRIPTIONS = {
     "ctc_finetune_step_ms_bucket13s": "… duration-bucketed ~13 s",
     "ctc_finetune_step_ms_pad24_bf16": "… 24 s pad, bf16",
     "diffvc_conversion_rtf_30step": "DiffVC 30-step `ml` conversion RTF",
+    "diffvc_conversion_rtf_30step_bf16": "… bf16 serving (fp32 gates apply)",
     "spiral_streaming_chunk_ms": "streaming ASR per-chunk latency (1.28 s)",
     "spiral_input_pipeline_efficiency":
         "loader-fed vs pre-staged step-rate ratio",

@@ -106,42 +106,59 @@ def reverse_diffusion(
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
-    def step(carry, i):
+    # All per-step coefficients depend only on the step index — precompute
+    # them VECTORIZED over the whole schedule and feed them through the scan
+    # as xs. Evaluating the kappa/omega/sigma transcendental chains inside
+    # the body emitted ~670 scalar ops per step (measured 9.9 ms of a
+    # 160 ms conversion, round-4 trace); elementwise-on-vector evaluation is
+    # bitwise-identical per element.
+    ts = 1.0 - jnp.arange(n_timesteps, dtype=z.dtype) * h
+    beta_ts = beta_min + (beta_max - beta_min) * ts
+    gamma0_ts = get_gamma(0.0, ts, beta_min, beta_max)
+    if mode == "ml":
+        kappas = get_gamma(0, ts - h, beta_min, beta_max) * (
+            1.0 - get_gamma(ts - h, ts, beta_min, beta_max, p=2.0)
+        )
+        kappas = kappas / (gamma0_ts * beta_ts * h)
+        kappas = kappas - 1.0
+        omegas = get_nu(ts - h, ts, beta_min, beta_max) / gamma0_ts
+        omegas = omegas + get_mu(ts - h, ts, beta_min, beta_max)
+        omegas = omegas - (0.5 * beta_ts * h + 1.0)
+        sigmas = get_sigma(ts - h, ts, beta_min, beta_max)
+    elif mode == "em":
+        kappas = jnp.zeros_like(ts)
+        omegas = jnp.zeros_like(ts)
+        sigmas = jnp.sqrt(beta_ts * h)
+    else:  # pf carries unused placeholders
+        kappas = omegas = sigmas = jnp.zeros_like(ts)
+    xs = {
+        "t": ts, "beta_t": beta_ts, "gamma0": gamma0_ts,
+        "kappa": kappas, "omega": omegas, "sigma": sigmas,
+    }
+
+    def step(carry, cf):
         xt, rng = carry
-        t = 1.0 - i.astype(z.dtype) * h
-        t_vec = t * jnp.ones((b,), dtype=z.dtype)
-        beta_t = beta_min + (beta_max - beta_min) * t
-        xt_ref = compute_diffused_mean(ref, ref_mask, mean_ref, t, beta_min, beta_max)
+        t_vec = cf["t"] * jnp.ones((b,), dtype=z.dtype)
+        beta_t = cf["beta_t"]
+        xt_ref = (
+            ref * cf["gamma0"] + mean_ref * (1.0 - cf["gamma0"])
+        ) * ref_mask[:, :, None]
         score = score_fn(xt, xt_ref, t_vec)
         if mode == "pf":
             dxt = 0.5 * (mean - xt - score) * (beta_t * h)
             rng_next = rng
         else:
-            if mode == "ml":
-                kappa = get_gamma(0, t - h, beta_min, beta_max) * (
-                    1.0 - get_gamma(t - h, t, beta_min, beta_max, p=2.0)
-                )
-                kappa = kappa / (get_gamma(0, t, beta_min, beta_max) * beta_t * h)
-                kappa = kappa - 1.0
-                omega = get_nu(t - h, t, beta_min, beta_max) / get_gamma(
-                    0, t, beta_min, beta_max
-                )
-                omega = omega + get_mu(t - h, t, beta_min, beta_max)
-                omega = omega - (0.5 * beta_t * h + 1.0)
-                sigma = get_sigma(t - h, t, beta_min, beta_max)
-            else:  # em
-                kappa = 0.0
-                omega = 0.0
-                sigma = jnp.sqrt(beta_t * h)
             rng, sub = jax.random.split(rng)
-            dxt = (mean - xt) * (0.5 * beta_t * h + omega)
-            dxt = dxt - score * (1.0 + kappa) * (beta_t * h)
-            dxt = dxt + jax.random.normal(sub, z.shape, dtype=z.dtype) * sigma
+            dxt = (mean - xt) * (0.5 * beta_t * h + cf["omega"])
+            dxt = dxt - score * (1.0 + cf["kappa"]) * (beta_t * h)
+            dxt = dxt + (
+                jax.random.normal(sub, z.shape, dtype=z.dtype) * cf["sigma"]
+            )
             rng_next = rng
         xt = (xt - dxt) * m
         return (xt, rng_next), (xt if return_history else None)
 
-    (xt, _), hist = jax.lax.scan(step, (xt0, rng), jnp.arange(n_timesteps))
+    (xt, _), hist = jax.lax.scan(step, (xt0, rng), xs)
     if return_history:
         return xt, hist
     return xt
