@@ -25,11 +25,18 @@ import pytest
 
 @contextlib.contextmanager
 def _count_device_constants():
-    import jax._src.array as jarray
-    import jax._src.interpreters.mlir as mlir
+    # private-surface dependency: a JAX upgrade renaming either symbol
+    # should read as "guard needs porting", not as a hot-path regression
+    try:
+        import jax._src.array as jarray
+        import jax._src.interpreters.mlir as mlir
+
+        orig = jarray._array_mlir_constant_handler
+        jarray.ArrayImpl, mlir.register_constant_handler
+    except (ImportError, AttributeError) as e:  # pragma: no cover
+        pytest.skip(f"JAX private constant-handler surface moved: {e}")
 
     calls = []
-    orig = jarray._array_mlir_constant_handler
 
     def patched(val, *a, **k):
         calls.append((val.shape, str(val.dtype), val.nbytes))

@@ -98,3 +98,22 @@ def threaded_prefetch(make_gen: Callable[[], Iterator[T]],
             except queue.Empty:
                 break
         thread.join(timeout=5.0)
+        if thread.is_alive():
+            # producer stuck inside make_gen I/O — its in-flight batch (and
+            # anything it still enqueues) stays alive until GC; make the
+            # leak visible instead of silent
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "device-prefetch producer did not exit within 5s; "
+                "up to one device batch may be released only at GC"
+            )
+        else:
+            # a producer blocked in _put's q.put(timeout=0.1) can slip one
+            # final batch in after the first drain but before observing
+            # stop — drain again now that the thread is gone
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break

@@ -134,6 +134,7 @@ class MultiheadSelfAttention(nn.Module):
             fused_attention_supported,
             fused_qkv_self_attention,
             fused_qkv_supported,
+            fused_self_attention,
         )
 
         d_head = self.embed_dim // self.num_heads
@@ -154,12 +155,13 @@ class MultiheadSelfAttention(nn.Module):
         qkv = x @ qkv_w.astype(x.dtype) + qkv_b.astype(x.dtype)
         b, t, _ = x.shape
 
-        use_fused = (
-            self.fused if self.fused is not None
-            else (fused_attention_supported(t)
-                  and fused_qkv_supported(t, self.embed_dim,
-                                          qkv.dtype.itemsize))
+        # the merged-plane kernel needs the whole (T, 3E) plane in VMEM;
+        # at shapes past its budget an explicit fused=True still runs the
+        # per-head kernel (head-chunked VMEM sizing) rather than erroring
+        qkv_kernel_ok = fused_attention_supported(t) and fused_qkv_supported(
+            t, self.embed_dim, qkv.dtype.itemsize
         )
+        use_fused = self.fused if self.fused is not None else qkv_kernel_ok
         if attn_mask is not None:
             # structured (e.g. chunked-streaming) masks run the unfused path
             use_fused = False
@@ -173,14 +175,24 @@ class MultiheadSelfAttention(nn.Module):
                     self.make_rng("dropout"), (), 0, 2**31 - 1,
                     dtype=jnp.int32,
                 )
-            # merged-plane kernel: heads are static column slices in VMEM,
-            # the gradient returns as one (B,T,3E) plane — no split/
-            # reshape/transpose copies on either side of the custom call
-            # (round-4 trace: ~7.6 ms/step of zero-FLOP formatting here)
-            out = fused_qkv_self_attention(
-                qkv, self.num_heads, key_padding_mask, dropout_p=drop_p,
-                dropout_seed=seed, interpret=self.fused_interpret,
-            )
+            if qkv_kernel_ok or self.fused_interpret:
+                # merged-plane kernel: heads are static column slices in
+                # VMEM, the gradient returns as one (B,T,3E) plane — no
+                # split/reshape/transpose copies on either side of the
+                # custom call (round-4 trace: ~7.6 ms/step of zero-FLOP
+                # formatting here)
+                out = fused_qkv_self_attention(
+                    qkv, self.num_heads, key_padding_mask, dropout_p=drop_p,
+                    dropout_seed=seed, interpret=self.fused_interpret,
+                )
+            else:
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+                out = fused_self_attention(
+                    q.reshape(b, t, self.num_heads, d_head),
+                    k.reshape(b, t, self.num_heads, d_head),
+                    v.reshape(b, t, self.num_heads, d_head),
+                    key_padding_mask, dropout_p=drop_p, dropout_seed=seed,
+                ).reshape(b, t, self.embed_dim)
         else:
             q, k, v = jnp.split(qkv, 3, axis=-1)
             qh = q.reshape(b, t, self.num_heads, d_head)

@@ -351,10 +351,14 @@ def fused_qkv_supported(t: int, e: int, itemsize: int = 4,
                         backend: Optional[str] = None) -> bool:
     """True when the whole-plane (T,3E) kernel fits the scoped-VMEM budget
     (worst case: backward holds qkv + do + dqkv planes + ~4 (T,T) f32
-    temporaries)."""
+    temporaries). Each pipelined BlockSpec is double-buffered by the Mosaic
+    pipeline (same 2x _heads_per charges per block), so the plane term
+    counts every operand twice — without it, shapes near the boundary
+    (e.g. fp32 E=512, T=512) pass the check yet blow the 16 MB scoped
+    VMEM at compile time on real TPU instead of falling back."""
     if not fused_attention_supported(t, backend):
         return False
-    planes = (3 * e + e + 3 * e) * t * itemsize  # qkv + do + dqkv
+    planes = 2 * (3 * e + e + 3 * e) * t * itemsize  # 2x(qkv + do + dqkv)
     temps = 4 * t * t * 4
     return planes + temps < 12 * 2**20
 
