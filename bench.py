@@ -601,21 +601,32 @@ def bench_input_pipeline(batch_size: int = 24, crop: int = 250000,
     # arm 2: the real loader through the production prefetch stage — augment
     # + device_put run in the producer thread, overlapped with compute
     # (tpu_speech/data/prefetch.py; the same path spiral_runner.train_epoch
-    # uses)
+    # uses). Run once per wire format: float32 (the reference DataLoader
+    # behavior) and int16 (the production default, train_ds.wire_dtype) —
+    # the int16 wire halves the dominant waveform payload and the jitted
+    # step decodes on device (wav_to_spec), so the A/B isolates the
+    # transfer-size lever (round-4 verdict weak #5).
     from tpu_speech.data.prefetch import threaded_prefetch
+    from tpu_speech.train.spiral import quantize_wire_int16
 
-    def loader_batches():
-        n = 0
-        while n < n_steps + warmup:
-            for raw in loader:
-                if n >= n_steps + warmup:
-                    return
-                yield jax.device_put(
-                    jax.tree.map(jnp.asarray, augment(raw))
-                )
-                n += 1
+    def loader_batches(wire_int16):
+        def gen():
+            n = 0
+            while n < n_steps + warmup:
+                for raw in loader:
+                    if n >= n_steps + warmup:
+                        return
+                    b = augment(raw)
+                    if wire_int16:
+                        b = quantize_wire_int16(b)
+                    yield jax.device_put(jax.tree.map(jnp.asarray, b))
+                    n += 1
+        return gen
 
-    state, t_loader = run_arm(threaded_prefetch(loader_batches), state)
+    state, t_loader_f32 = run_arm(
+        threaded_prefetch(loader_batches(False)), state)
+    state, t_loader = run_arm(
+        threaded_prefetch(loader_batches(True)), state)
 
     # ---- per-stage attribution (round-3 verdict items 1/7) ----
     # amortized host batch prep: fetch + augment, steady state, NO device
@@ -679,6 +690,9 @@ def bench_input_pipeline(batch_size: int = 24, crop: int = 250000,
 
     payload_mb = sum(
         np.asarray(v).nbytes for v in augment(raw0).values()) / 1e6
+    payload_mb_i16 = sum(
+        np.asarray(v).nbytes
+        for v in quantize_wire_int16(augment(raw0)).values()) / 1e6
     host_ms = fetch_ms + augment_ms + stage_copy_ms
     stages = {
         "fetch_ms": round(fetch_ms, 2),
@@ -687,7 +701,10 @@ def bench_input_pipeline(batch_size: int = 24, crop: int = 250000,
         "put_issue_ms": round(put_issue_ms, 2),
         "h2d_mbps": round(h2d_mbps, 1),
         "payload_mb": round(payload_mb, 2),
-        "required_mbps": round(payload_mb / t_synth, 1),
+        "payload_mb_int16": round(payload_mb_i16, 2),
+        "required_mbps": round(payload_mb_i16 / t_synth, 1),
+        "loader_step_ms_f32_wire": round(t_loader_f32 * 1e3, 2),
+        "wire_speedup": round(t_loader_f32 / t_loader, 3),
         "host_ms": round(host_ms, 2),
         "host_efficiency": round(
             t_synth * 1e3 / max(host_ms, t_synth * 1e3), 4),
@@ -842,6 +859,14 @@ def run_one(metric: str):
         rtf, sp = bench_diffvc_conversion(bf16=True)
         emit(metric, rtf, "rtf", TARGET_RTF / rtf, sp, chain=8,
              baseline_kind="north_star_target")
+    elif metric == "diffvc_conversion_rtf_dpm6":
+        # fast sampler at the serving op-point: DPM-Solver++(2M), 6 network
+        # calls on the pf ODE vs the reference's 30-call `ml` loop. Quality
+        # gated by tests/test_dpm_solver.py (dpm@6 discretization error vs
+        # the sampler-family limits).
+        rtf, sp = bench_diffvc_conversion(n_steps=6, mode="dpm")
+        emit(metric, rtf, "rtf", TARGET_RTF / rtf, sp, chain=8,
+             baseline_kind="north_star_target")
     elif metric == "spiral_streaming_chunk_ms":
         ms = bench_streaming_chunk()
         # realtime budget: 1.28 s of audio per chunk; vs_baseline = how many
@@ -940,6 +965,7 @@ ALL_METRICS = (
     "ctc_finetune_step_ms_pad24_bf16",
     "diffvc_conversion_rtf_30step",
     "diffvc_conversion_rtf_30step_bf16",
+    "diffvc_conversion_rtf_dpm6",
     "spiral_streaming_chunk_ms",
     "spiral_input_pipeline_efficiency",
 )
@@ -968,6 +994,26 @@ def main():
         records = []
         device_kind = [None]
 
+        # provenance stamp: the artifact must say WHICH code it measured —
+        # scripts/gen_bench_table.py refuses to render a table whose
+        # compute-path files changed since this sha (rounds 3 and 4 both
+        # shipped artifacts stale vs HEAD)
+        def _git_stamp():
+            try:
+                sha = subprocess.run(
+                    ["git", "rev-parse", "HEAD"],
+                    capture_output=True, text=True, timeout=10,
+                ).stdout.strip()
+                dirty = bool(subprocess.run(
+                    ["git", "status", "--porcelain", "--untracked-files=no"],
+                    capture_output=True, text=True, timeout=10,
+                ).stdout.strip())
+                return (sha or None), dirty
+            except Exception:
+                return None, None
+
+        git_sha, git_dirty = _git_stamp()
+
         def _flush():
             # written after EVERY metric so an interrupted sweep still
             # leaves a valid (partial) artifact on disk.
@@ -980,6 +1026,8 @@ def main():
                 with open(out_path, "w") as f:
                     json.dump({
                         "device": device_kind[0],
+                        "git_sha": git_sha,
+                        "git_dirty": git_dirty,
                         "complete": len(records) == len(ALL_METRICS),
                         "ok": (len(records) == len(ALL_METRICS)
                                and all("error" not in r for r in records)),

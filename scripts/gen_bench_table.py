@@ -12,7 +12,50 @@ script renders it. Usage:
 
 import json
 import re
+import subprocess
 import sys
+
+# files whose changes invalidate a bench artifact (the measured code paths);
+# doc/test/artifact-only commits do not
+CODE_PATHS = ["tpu_speech", "cli", "native", "bench.py"]
+
+
+def check_sha(data: dict, path: str) -> None:
+    """Refuse to render a table for an artifact that does not measure the
+    current compute-path code (rounds 3/4 both shipped stale artifacts).
+    Override with --force for explicitly-historical tables."""
+    sha = data.get("git_sha")
+    if not sha:
+        print(
+            f"WARNING: {path} carries no git_sha stamp (pre-round-5 "
+            "artifact) — cannot prove it measures HEAD",
+            file=sys.stderr,
+        )
+        return
+    if data.get("git_dirty"):
+        print(
+            f"WARNING: {path} was produced from a DIRTY tree at {sha[:9]}",
+            file=sys.stderr,
+        )
+    diff = subprocess.run(
+        ["git", "diff", "--name-only", sha, "HEAD", "--", *CODE_PATHS],
+        capture_output=True, text=True,
+    )
+    if diff.returncode != 0:
+        print(
+            f"WARNING: cannot diff artifact sha {sha[:9]} against HEAD "
+            f"({diff.stderr.strip()})",
+            file=sys.stderr,
+        )
+        return
+    changed = diff.stdout.strip()
+    if changed and "--force" not in sys.argv:
+        raise SystemExit(
+            f"{path} was produced at {sha[:9]} but compute-path files "
+            f"changed since:\n{changed}\n"
+            "Re-run `python bench.py --all --out=...` at HEAD (or pass "
+            "--force for an explicitly historical table)."
+        )
 
 DESCRIPTIONS = {
     "gradtts_e2e_wav_rtf_10step":
@@ -31,6 +74,8 @@ DESCRIPTIONS = {
     "ctc_finetune_step_ms_pad24_bf16": "… 24 s pad, bf16",
     "diffvc_conversion_rtf_30step": "DiffVC 30-step `ml` conversion RTF",
     "diffvc_conversion_rtf_30step_bf16": "… bf16 serving (fp32 gates apply)",
+    "diffvc_conversion_rtf_dpm6":
+        "DiffVC DPM-Solver++(2M) conversion RTF, 6 calls",
     "spiral_streaming_chunk_ms": "streaming ASR per-chunk latency (1.28 s)",
     "spiral_input_pipeline_efficiency":
         "loader-fed vs pre-staged step-rate ratio",
@@ -69,10 +114,14 @@ def _render_vs(r: dict) -> str:
 def render(path: str) -> str:
     with open(path) as f:
         data = json.load(f)
+    check_sha(data, path)
+    sha = data.get("git_sha")
     lines = [
         f"Measured on 1x {data.get('device', '?')} "
-        f"(`python bench.py --all --out={path}`; `chain` = iterations "
-        "amortized per dispatch, `mfu` vs the chip's bf16 peak):",
+        f"(`python bench.py --all --out={path}`"
+        + (f" at `{sha[:9]}`" if sha else "")
+        + "; `chain` = iterations amortized per dispatch, `mfu` vs the "
+        "chip's bf16 peak):",
         "",
         "| metric | value | vs baseline | MFU | notes |",
         "|---|---|---|---|---|",

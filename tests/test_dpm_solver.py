@@ -213,3 +213,43 @@ def test_diffvc_dpm_matches_pf_limit():
     # conditional field: 5x fewer NFE AND >2x closer to the pf limit
     assert err_dpm < 0.2, err_dpm
     assert err_dpm < err_pf30 / 2, (err_dpm, err_pf30)
+
+
+@pytest.mark.slow  # K+1 sampler runs (one compile each for ml/dpm)
+def test_diffvc_dpm_within_ml_ensemble_scatter():
+    """mel-MAE gate anchored at the reference serving op-point (30-step
+    `ml`, DiffVC/inference.ipynb cell 7): the deterministic dpm@6 output
+    must land inside the ml@30 noise-seed ensemble's own scatter — i.e. the
+    fast sampler is no further from the ml ensemble mean than a typical ml
+    sample is. This is the sampler-swap quality claim for serving
+    (bench.py::diffvc_conversion_rtf_dpm6); the discretization-error gate
+    vs the pf limit is test_diffvc_dpm_matches_pf_limit above."""
+    from tpu_speech.models.diffvc.vc import DiffVC, voice_convert
+
+    model = DiffVC(n_feats=8, channels=8, filters=16, heads=2, layers=1,
+                   kernel=3, dropout=0.0, window_size=2, enc_dim=16,
+                   spk_dim=16, use_ref_t=True, dec_dim=16, beta_min=0.05,
+                   beta_max=20.0)
+    B, T, F = 1, 32, 8
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, F))
+    xl = jnp.array([T], dtype=jnp.int32)
+    xr = jax.random.normal(jax.random.PRNGKey(1), (B, T, F))
+    c = jax.random.normal(jax.random.PRNGKey(2), (B, 16))
+    params = model.init(jax.random.PRNGKey(3), x, xl, xr, c,
+                        jax.random.PRNGKey(4), train=False)
+
+    K = 6
+    # all runs share the z-draw rng (fold_in structure inside voice_convert
+    # keeps the initial z identical per seed index), so the ensemble spread
+    # below is the ml sampler's own injected-noise scatter
+    ml = jnp.stack([
+        voice_convert(model, params, x, xl, xr, xl, c, 30, "ml",
+                      jax.random.PRNGKey(100 + i))[1]
+        for i in range(K)
+    ])
+    center = jnp.mean(ml, axis=0)
+    scatter = float(jnp.mean(jnp.abs(ml - center[None])))
+    out_dpm = voice_convert(model, params, x, xl, xr, xl, c, 6, "dpm",
+                            jax.random.PRNGKey(100))[1]
+    mae_dpm = float(jnp.mean(jnp.abs(out_dpm - center)))
+    assert mae_dpm < 1.5 * scatter, (mae_dpm, scatter)

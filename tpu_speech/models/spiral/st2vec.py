@@ -155,6 +155,15 @@ def momentum_schedule(step, base, final, max_steps, kind: str = "cosine"):
 
 
 def wav_to_spec(cfg: ST2VecConfig, wavs, wav_lens, training=False, rng=None):
+    if jnp.issubdtype(wavs.dtype, jnp.integer):
+        # int16 wire format: the input pipeline ships source PCM samples and
+        # converts on device INSIDE the jitted step — int16 -> f32 is exact
+        # and /32768 is a power-of-two scale, so the result is bit-identical
+        # to the host-side read_wav conversion at half the H2D payload
+        # (the reference pays 4 B/sample for audio whose source files are
+        # int16 PCM; see train/spiral.py::quantize_wire_int16 and the
+        # bench.py::spiral_input_pipeline_efficiency wire A/B).
+        wavs = wavs.astype(jnp.float32) * (1.0 / 32768.0)
     if getattr(cfg, "streaming", None) is not None:
         # streaming-mode models train exactly as they serve: causal
         # cumulative normalization, no utterance-global time-domain

@@ -242,6 +242,28 @@ def step_rng(iteration: int, impl: str = "rbg") -> jax.Array:
     return jax.random.key(int(iteration), impl=impl)
 
 
+def quantize_wire_int16(batch: dict) -> dict:
+    """Re-encode the waveform leaves of a device batch as int16 for the
+    host->device transfer (the jitted step decodes them, wav_to_spec).
+
+    Source audio is int16 PCM, so for un-augmented waveforms the round trip
+    float32 -> int16 -> float32 reproduces the loader's floats BIT-EXACTLY
+    (round-to-nearest recovers the original sample index). Augmented
+    waveforms (noise-mix / gain) re-quantize with error <= 0.5 LSB
+    (1.5e-5) — below the featurizer's own dither (cfg.dither default 1e-5
+    amplitude on a comparable scale) and ~90 dB under signal. Halves the
+    dominant H2D payload; see bench.py::spiral_input_pipeline_efficiency's
+    wire A/B for the measured effect.
+    """
+    out = dict(batch)
+    for k in ("wavs", "p_wavs"):
+        if k in out and out[k].dtype == np.float32:
+            out[k] = np.clip(
+                np.rint(out[k] * 32768.0), -32768, 32767
+            ).astype(np.int16)
+    return out
+
+
 def host_augment_batch(cfg: ST2VecConfig, wavs, wav_lens, p_wavs, p_wav_lens,
                        spec_len: int, rng: np.random.Generator,
                        shift_rng: Optional[np.random.Generator] = None):

@@ -47,6 +47,7 @@ from tpu_speech.train.spiral import (
     host_augment_batch,
     init_spiral_state,
     make_pretrain_step,
+    quantize_wire_int16,
 )
 from tpu_speech.utils.checkpoint import Checkpointer
 
@@ -481,13 +482,21 @@ class SpiralPretrainRunner:
         them — the role torch DataLoader workers + pin_memory play for the
         reference (st2vec_pretrain.py:225-233)."""
         sr = self.cfg.model.train_ds.sample_rate
+        int16_wire = (
+            getattr(self.cfg.model.train_ds, "wire_dtype", "int16") == "int16"
+        )
+
+        def _aug(raw, **kw):
+            b = self._augment(raw, **kw)
+            return quantize_wire_int16(b) if int16_wire else b
+
         step_idx = self.iteration
         for raw in self.loader:
             if self.accum > 1:
                 # leftover micro-batches persist across epochs instead of
                 # being dropped; audio seconds are counted when consumed so
                 # the throughput log matches the steps actually executed
-                self._micro_buf.append(self._augment(
+                self._micro_buf.append(_aug(
                     raw, micro_idx=len(self._micro_buf), step_idx=step_idx
                 ))
                 self._micro_sec += float(np.sum(raw["wav_lens"])) / sr
@@ -503,7 +512,7 @@ class SpiralPretrainRunner:
             else:
                 sec = float(np.sum(raw["wav_lens"])) / sr
                 batch = shard_batch(
-                    self.mesh, self._augment(raw, step_idx=step_idx)
+                    self.mesh, _aug(raw, step_idx=step_idx)
                 )
             yield batch, sec
             step_idx += 1
@@ -884,11 +893,16 @@ class SpiralFinetuneRunner:
     def _device_batches(self):
         """Yield device-ready finetune batches; runs in the prefetch producer
         thread (see SpiralPretrainRunner._device_batches)."""
+        int16_wire = (
+            getattr(self.cfg.model.train_ds, "wire_dtype", "int16") == "int16"
+        )
         for raw in self.loader:
             batch = {k: v for k, v in raw.items() if k != "texts"}
             batch["time_mask"], batch["chan_mask"] = self._train_masks(
                 batch["wavs"].shape[1], batch["wav_lens"]
             )
+            if int16_wire:
+                batch = quantize_wire_int16(batch)
             if self.accum > 1:
                 # leftovers persist across epochs rather than being dropped
                 self._micro_buf.append(batch)

@@ -88,6 +88,12 @@ class AudioDatasetConfig:
     # released; data/native_pipeline.py). Auto-falls back to the Python path
     # when the library can't build or the augmentor isn't expressible.
     use_native_loader: bool = True
+    # host->device waveform wire format: 'int16' ships source-PCM samples
+    # (half the H2D payload; bit-exact for unaugmented audio, <=0.5 LSB
+    # re-quantization for augmented — train/spiral.py::quantize_wire_int16)
+    # and the jitted step converts on device; 'float32' ships the loader's
+    # floats unchanged (the reference DataLoader behavior).
+    wire_dtype: str = "int16"
 
 
 @dataclasses.dataclass
