@@ -27,6 +27,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--chain", type=int, default=8)
+    ap.add_argument("--mode", default="ml", choices=["pf", "em", "ml", "dpm"])
+    ap.add_argument("--steps", type=int, default=None,
+                    help="default: 30 (6 for --mode=dpm)")
     ap.add_argument("--logdir", default=None)
     args = ap.parse_args()
 
@@ -45,12 +48,14 @@ def main():
         train=True,
     )
 
+    n_steps = args.steps or (6 if args.mode == "dpm" else 30)
+
     @jax.jit
     def convert_chain(p, x, xl, x_ref, c, rng):
         def body(_, k):
             _, y = voice_convert(
-                model, p, x, xl, x_ref, xl, c, n_timesteps=30,
-                mode="ml", rng=k,
+                model, p, x, xl, x_ref, xl, c, n_timesteps=n_steps,
+                mode=args.mode, rng=k,
             )
             return 0.0, y
         _, ys = jax.lax.scan(body, 0.0, jax.random.split(rng, args.chain))

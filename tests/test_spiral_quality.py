@@ -20,16 +20,26 @@ cli/run_spiral.py exactly as a user would:
      encoder, random decoder), by gap AND ratio gates;
   4. the artifacts exist: train.log loss curves, wer_diagnosis.html.
 
-Calibration (round 4): the toy SGD trajectories are CHAOTIC — a 1e-7
-numeric perturbation (jitted-init bits; q-scale weight folding; a 5e-5
-relative lr change) moves a finetuned WER within ~[0.02, 0.45] while the
-same-budget scratch control moves within ~[0.34, 0.56]. The WER gates are
-therefore band-robust (sanity cap 0.55; gap > 0.07 AND ratio < 0.85 vs
-scratch — both held across every measured perturbation pair), and the
-STRONG transfer claim rests on the deterministic probe (measured
-pretrained 0.68-0.74 vs random 0.475 under the same perturbations, gate
-margin +0.15). Finetunes start from the EMA teacher weights
-(--use_teacher_encoder, the reference's recommended source).
+Calibration (round 5, scripts/calibrate_toy_quality.py): growing the toy
+corpus 120 -> 240 train utterances (50 pretrain / 30 finetune epochs)
+stabilizes the finetune WER trajectories enough to tighten the round-4
+gates. Measured bands across four lr*(1+k*1e-6) perturbation pairs on the
+CPU test backend:
+
+    pretrained  0.2222 0.1944 0.2639 0.2361   (band [0.19, 0.27])
+    scratch     0.4097 0.3264 0.4097 0.4722   (band [0.33, 0.47])
+    per-pair gap   0.188 0.132 0.146 0.236    (worst 0.132)
+    per-pair ratio 0.542 0.596 0.644 0.500    (worst 0.644)
+
+plus one chip-backend pair (0.285, 0.563). Gates with margin: sanity cap
+0.35 (round 4: 0.55), gap > 0.10 (was 0.07), ratio < 0.70 (was 0.85).
+Pushing further to 360 utts / 40 epochs was measured MORE chaotic on the
+pretrained arm ([0.01, 0.37] across 3 pairs) — trajectory chaos is not
+monotone in corpus scale, so 240/30 is the calibrated operating point.
+The deterministic ridge probe (pretrained ~0.7 vs random ~0.48, gate
+margin +0.15) remains the trajectory-chaos-immune transfer anchor.
+Finetunes start from the EMA teacher weights (--use_teacher_encoder, the
+reference's recommended source).
 """
 
 import io
@@ -159,10 +169,10 @@ def _load_pretrained_teacher(logs_pre, enc_cfg, batch_size, crop_size):
 @pytest.mark.slow
 def test_spiral_trains_to_quality(tmp_path):
     train_manifest = make_toy_corpus(
-        str(tmp_path / "train"), 120, seed=0, name="train.json"
+        str(tmp_path / "train"), 240, seed=0, name="train.json"
     )
     test_manifest = make_toy_corpus(
-        str(tmp_path / "test"), 32, seed=1, name="test.json"
+        str(tmp_path / "test"), 48, seed=1, name="test.json"
     )
     sets = [
         "--set", f"model.train_ds.manifest_filepath={train_manifest}",
@@ -176,13 +186,13 @@ def test_spiral_trains_to_quality(tmp_path):
         "--config_name=spiral_toy_quality",
         "--model_save_dir", logs_pre,
         "--model_type=st2vec",
-        "--max_epochs=60",
+        "--max_epochs=50",
         "--resume_if_exists=false",
     ] + sets)
     log_text = open(os.path.join(logs_pre, "train.log")).read()
     losses = [float(x) for x in re.findall(r"Epoch \d+: loss = ([\d.]+)",
                                            log_text)]
-    assert len(losses) == 60, log_text
+    assert len(losses) == 50, log_text
     # contrastive loss decreases and stays down (compare epoch means, not
     # single steps): last-5 mean well below first-epoch loss
     assert np.mean(losses[-5:]) < losses[0] - 0.15, losses
@@ -222,7 +232,7 @@ def test_spiral_trains_to_quality(tmp_path):
         "--config_name=spiral_toy_quality",
         "--model_save_dir", logs_ft,
         "--model_type=ctc_finetune",
-        "--max_epochs=25",
+        "--max_epochs=30",
         "--resume_if_exists=false",
         "--init_chkpt_dir", ck,
         "--init_chkpt_file", step_dir,
@@ -241,17 +251,17 @@ def test_spiral_trains_to_quality(tmp_path):
         "--resume_if_exists=true",
     ] + sets)
     wer_pretrained = _test_wer(out)
-    # sanity cap only: the toy trajectory is chaotic (round-4 calibration:
-    # a 1e-7 perturbation moves this value within ~[0.02, 0.45]); the
-    # transfer gates below are the real test
-    assert wer_pretrained < 0.55, out
+    # sanity cap, round-5 calibration at the 240-utt scale: pretrained band
+    # [0.19, 0.27] over four CPU perturbation pairs (+0.285 on chip), so
+    # 0.35 holds with margin (round 4's cap at the 120-utt scale was 0.55)
+    assert wer_pretrained < 0.35, out
 
     # artifacts: per-utterance diagnosis + loss curves
     assert os.path.exists(os.path.join(logs_ft, "wer_diagnosis.html"))
     ft_log = open(os.path.join(logs_ft, "train.log")).read()
     ctc_losses = [float(x) for x in re.findall(r"ctc loss = ([\d.]+)",
                                                ft_log)]
-    assert len(ctc_losses) == 25
+    assert len(ctc_losses) == 30
     assert ctc_losses[-1] < 0.5 * ctc_losses[0], ctc_losses
 
     # ---- 3a. control: identical budget from a random-init encoder -------
@@ -260,7 +270,7 @@ def test_spiral_trains_to_quality(tmp_path):
         "--config_name=spiral_toy_quality",
         "--model_save_dir", logs_scratch,
         "--model_type=ctc_finetune",
-        "--max_epochs=25",
+        "--max_epochs=30",
         "--resume_if_exists=false",
         "--finetune_from_scratch=true",
     ] + sets)
@@ -272,14 +282,12 @@ def test_spiral_trains_to_quality(tmp_path):
         "--resume_if_exists=true",
     ] + sets)
     wer_scratch = _test_wer(out)
-    # pretraining must transfer: substantially better than scratch
-    # (calibrated: ~0.05 vs ~0.5)
-    # measured round-4 calibration pairs (pretrained, scratch) under tiny
-    # numeric perturbations: (0.05, 0.50), (0.24, 0.34), (0.43, 0.56) —
-    # the gap is always positive but an absolute-0.15 threshold is not
-    # robust to the trajectory chaos; gate on gap AND ratio with margin
-    assert wer_pretrained < wer_scratch - 0.07, (wer_pretrained, wer_scratch)
-    assert wer_pretrained < 0.85 * wer_scratch, (wer_pretrained, wer_scratch)
+    # pretraining must transfer: substantially better than scratch.
+    # round-5 calibration pairs (pretrained, scratch) at this scale:
+    # (0.22, 0.41), (0.19, 0.33), (0.26, 0.41), (0.24, 0.47) — worst
+    # per-pair gap 0.132, worst ratio 0.644; gates leave margin on both
+    assert wer_pretrained < wer_scratch - 0.10, (wer_pretrained, wer_scratch)
+    assert wer_pretrained < 0.70 * wer_scratch, (wer_pretrained, wer_scratch)
 
     # ---- 3b. control: pre-finetune model (pretrained enc, random head) --
     # --max_epochs=0 runs no finetune steps but writes the archive, so test
@@ -305,12 +313,15 @@ def test_spiral_trains_to_quality(tmp_path):
         "--init_archive", os.path.join(logs_nof, arch[0]),
     ] + sets)
     wer_prefinetune = _test_wer(out)
-    # finetuning must beat the untrained head by a wide margin; thresholds
-    # sized to the round-4 chaos bands (pretrained up to ~0.45, untrained
-    # head ~0.78-1.0)
-    assert wer_pretrained < wer_prefinetune - 0.2, (
+    # finetuning must beat the untrained head. Round-5 calibration at the
+    # 240-utt scale: the prefinetune arm lands FAR lower than round 4's
+    # 0.78-1.0 (the stronger pretrained features make even a random head
+    # partially decodable) — measured band [0.34, 0.60] across the five
+    # perturbation arms vs finetuned [0.19, 0.27]; worst per-pair gap
+    # 0.139, worst ratio 0.592. Gates with margin:
+    assert wer_pretrained < wer_prefinetune - 0.08, (
         wer_pretrained, wer_prefinetune,
     )
-    assert wer_pretrained < 0.7 * wer_prefinetune, (
+    assert wer_pretrained < 0.70 * wer_prefinetune, (
         wer_pretrained, wer_prefinetune,
     )
