@@ -167,6 +167,7 @@ def _load_pretrained_teacher(logs_pre, enc_cfg, batch_size, crop_size):
 
 
 @pytest.mark.slow
+@pytest.mark.quality
 def test_spiral_trains_to_quality(tmp_path):
     train_manifest = make_toy_corpus(
         str(tmp_path / "train"), 240, seed=0, name="train.json"

@@ -47,6 +47,7 @@ def _epoch_losses(log_path, pattern):
 
 
 @pytest.mark.slow
+@pytest.mark.quality
 def test_gradtts_trains_to_quality(tmp_path, monkeypatch):
     import params
 
@@ -180,6 +181,7 @@ def _make_vc_data(root: str, n_per_spk: int = 12):
 
 
 @pytest.mark.slow
+@pytest.mark.quality
 def test_diffvc_two_stage_trains_to_quality(tmp_path, monkeypatch):
     import params_vc
 
