@@ -607,26 +607,28 @@ def bench_input_pipeline(batch_size: int = 24, crop: int = 250000,
     # step decodes on device (wav_to_spec), so the A/B isolates the
     # transfer-size lever (round-4 verdict weak #5).
     from tpu_speech.data.prefetch import threaded_prefetch
-    from tpu_speech.train.spiral import quantize_wire_int16
+    from tpu_speech.train.spiral import quantize_wire, quantize_wire_int16
 
-    def loader_batches(wire_int16):
+    def loader_batches(wire):
         def gen():
             n = 0
             while n < n_steps + warmup:
                 for raw in loader:
                     if n >= n_steps + warmup:
                         return
-                    b = augment(raw)
-                    if wire_int16:
-                        b = quantize_wire_int16(b)
+                    b = quantize_wire(augment(raw), wire)
                     yield jax.device_put(jax.tree.map(jnp.asarray, b))
                     n += 1
         return gen
 
     state, t_loader_f32 = run_arm(
-        threaded_prefetch(loader_batches(False)), state)
+        threaded_prefetch(loader_batches("float32")), state)
     state, t_loader = run_arm(
-        threaded_prefetch(loader_batches(True)), state)
+        threaded_prefetch(loader_batches("int16")), state)
+    # third arm: opt-in lossy 8-bit mu-law wire (quarter payload) — the
+    # remaining payload lever for pathologically link-bound hosts
+    state, t_loader_mulaw = run_arm(
+        threaded_prefetch(loader_batches("mulaw")), state)
 
     # ---- per-stage attribution (round-3 verdict items 1/7) ----
     # amortized host batch prep: fetch + augment, steady state, NO device
@@ -702,9 +704,14 @@ def bench_input_pipeline(batch_size: int = 24, crop: int = 250000,
         "h2d_mbps": round(h2d_mbps, 1),
         "payload_mb": round(payload_mb, 2),
         "payload_mb_int16": round(payload_mb_i16, 2),
+        "payload_mb_mulaw": round(sum(
+            np.asarray(v).nbytes
+            for v in quantize_wire(augment(raw0), "mulaw").values()) / 1e6, 2),
         "required_mbps": round(payload_mb_i16 / t_synth, 1),
         "loader_step_ms_f32_wire": round(t_loader_f32 * 1e3, 2),
+        "loader_step_ms_mulaw_wire": round(t_loader_mulaw * 1e3, 2),
         "wire_speedup": round(t_loader_f32 / t_loader, 3),
+        "wire_speedup_mulaw": round(t_loader_f32 / t_loader_mulaw, 3),
         "host_ms": round(host_ms, 2),
         "host_efficiency": round(
             t_synth * 1e3 / max(host_ms, t_synth * 1e3), 4),

@@ -155,7 +155,15 @@ def momentum_schedule(step, base, final, max_steps, kind: str = "cosine"):
 
 
 def wav_to_spec(cfg: ST2VecConfig, wavs, wav_lens, training=False, rng=None):
-    if jnp.issubdtype(wavs.dtype, jnp.integer):
+    if wavs.dtype == jnp.uint8:
+        # mu-law wire format (opt-in, train/spiral.py::quantize_wire_mulaw):
+        # exact inverse of the host companding — quarter the f32 payload.
+        mu = 255.0
+        y = wavs.astype(jnp.float32) * (1.0 / 127.5) - 1.0
+        wavs = jnp.sign(y) * (1.0 / mu) * (
+            jnp.exp(jnp.abs(y) * jnp.log1p(mu)) - 1.0
+        )
+    elif jnp.issubdtype(wavs.dtype, jnp.integer):
         # int16 wire format: the input pipeline ships source PCM samples and
         # converts on device INSIDE the jitted step — int16 -> f32 is exact
         # and /32768 is a power-of-two scale, so the result is bit-identical

@@ -264,6 +264,44 @@ def quantize_wire_int16(batch: dict) -> dict:
     return out
 
 
+_MU = 255.0
+
+
+def quantize_wire_mulaw(batch: dict) -> dict:
+    """Re-encode waveform leaves as 8-bit mu-law (G.711-style, mu=255) for
+    the host->device transfer — OPT-IN via train_ds.wire_dtype='mulaw'.
+
+    Quarter the float32 payload (vs half for the lossless int16 default),
+    for hosts where the H2D link, not the device, bounds the step (the dev
+    harness's ~48 MB/s tunnel; see bench.py::bench_input_pipeline). LOSSY:
+    logarithmic companding holds quantization noise at ~38 dB SNR across
+    the signal's dynamic range — far coarser than int16's ~90 dB but above
+    typical far-field/augmented-speech noise floors, and the same transcode
+    the G.711 telephony perturbation applies on purpose (data/spiral.py).
+    The jitted step expands on device (st2vec.py::wav_to_spec, exact
+    inverse of this companding up to f32 rounding).
+    """
+    out = dict(batch)
+    for k in ("wavs", "p_wavs"):
+        if k in out and out[k].dtype == np.float32:
+            x = np.clip(out[k], -1.0, 1.0)
+            y = np.sign(x) * np.log1p(_MU * np.abs(x)) / np.log1p(_MU)
+            out[k] = np.rint((y + 1.0) * 127.5).astype(np.uint8)
+    return out
+
+
+def quantize_wire(batch: dict, wire_dtype: str) -> dict:
+    """Dispatch train_ds.wire_dtype -> wire encoder ('float32' = passthrough)."""
+    if wire_dtype == "int16":
+        return quantize_wire_int16(batch)
+    if wire_dtype == "mulaw":
+        return quantize_wire_mulaw(batch)
+    if wire_dtype == "float32":
+        return batch
+    raise ValueError(
+        f"train_ds.wire_dtype={wire_dtype!r} (expected float32/int16/mulaw)")
+
+
 def host_augment_batch(cfg: ST2VecConfig, wavs, wav_lens, p_wavs, p_wav_lens,
                        spec_len: int, rng: np.random.Generator,
                        shift_rng: Optional[np.random.Generator] = None):

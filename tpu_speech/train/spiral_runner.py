@@ -47,7 +47,7 @@ from tpu_speech.train.spiral import (
     host_augment_batch,
     init_spiral_state,
     make_pretrain_step,
-    quantize_wire_int16,
+    quantize_wire,
 )
 from tpu_speech.utils.checkpoint import Checkpointer
 
@@ -482,13 +482,10 @@ class SpiralPretrainRunner:
         them — the role torch DataLoader workers + pin_memory play for the
         reference (st2vec_pretrain.py:225-233)."""
         sr = self.cfg.model.train_ds.sample_rate
-        int16_wire = (
-            getattr(self.cfg.model.train_ds, "wire_dtype", "int16") == "int16"
-        )
+        wire = getattr(self.cfg.model.train_ds, "wire_dtype", "int16")
 
         def _aug(raw, **kw):
-            b = self._augment(raw, **kw)
-            return quantize_wire_int16(b) if int16_wire else b
+            return quantize_wire(self._augment(raw, **kw), wire)
 
         step_idx = self.iteration
         for raw in self.loader:
@@ -893,16 +890,13 @@ class SpiralFinetuneRunner:
     def _device_batches(self):
         """Yield device-ready finetune batches; runs in the prefetch producer
         thread (see SpiralPretrainRunner._device_batches)."""
-        int16_wire = (
-            getattr(self.cfg.model.train_ds, "wire_dtype", "int16") == "int16"
-        )
+        wire = getattr(self.cfg.model.train_ds, "wire_dtype", "int16")
         for raw in self.loader:
             batch = {k: v for k, v in raw.items() if k != "texts"}
             batch["time_mask"], batch["chan_mask"] = self._train_masks(
                 batch["wavs"].shape[1], batch["wav_lens"]
             )
-            if int16_wire:
-                batch = quantize_wire_int16(batch)
+            batch = quantize_wire(batch, wire)
             if self.accum > 1:
                 # leftovers persist across epochs rather than being dropped
                 self._micro_buf.append(batch)

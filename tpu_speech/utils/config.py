@@ -92,7 +92,10 @@ class AudioDatasetConfig:
     # (half the H2D payload; bit-exact for unaugmented audio, <=0.5 LSB
     # re-quantization for augmented — train/spiral.py::quantize_wire_int16)
     # and the jitted step converts on device; 'float32' ships the loader's
-    # floats unchanged (the reference DataLoader behavior).
+    # floats unchanged (the reference DataLoader behavior); 'mulaw' ships
+    # 8-bit G.711-style companding (LOSSY ~38 dB SNR, quarter payload —
+    # opt-in for pathologically link-bound hosts;
+    # train/spiral.py::quantize_wire_mulaw).
     wire_dtype: str = "int16"
 
 
