@@ -1065,8 +1065,36 @@ def main():
                 records.append(err)
             _flush()
         return
-    # default (driver contract): ONE line, the headline metric
-    run_one("gradtts_e2e_wav_rtf_10step")
+    # default (driver contract): ONE line, the headline metric — run in a
+    # watchdogged subprocess so a dead/wedged device tunnel yields a
+    # parseable error line instead of an indefinite hang (observed: the
+    # tunneled dev chip can block make_c_api_client for hours)
+    import os
+    import subprocess
+
+    headline = "gradtts_e2e_wav_rtf_10step"
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             f"--metric={headline}"],
+            capture_output=True, text=True, timeout=2400,
+        )
+        line = next(
+            (ln for ln in proc.stdout.splitlines()
+             if ln.startswith("{") and "_device_kind" not in ln), None,
+        )
+        if proc.returncode == 0 and line:
+            print(line, flush=True)
+        else:
+            print(json.dumps({
+                "metric": headline,
+                "error": (proc.stderr or proc.stdout)[-200:],
+            }), flush=True)
+    except subprocess.TimeoutExpired:
+        print(json.dumps({
+            "metric": headline,
+            "error": "timeout after 2400s (device tunnel unresponsive?)",
+        }), flush=True)
 
 
 if __name__ == "__main__":
