@@ -355,12 +355,20 @@ def fused_qkv_supported(t: int, e: int, itemsize: int = 4,
     pipeline (same 2x _heads_per charges per block), so the plane term
     counts every operand twice — without it, shapes near the boundary
     (e.g. fp32 E=512, T=512) pass the check yet blow the 16 MB scoped
-    VMEM at compile time on real TPU instead of falling back."""
+    VMEM at compile time on real TPU instead of falling back.
+
+    Cap calibration (round 5, measured): the SPIRAL block-1 shape
+    (T=392, E=512, fp32) charges 13.06 MB under the 2x rule and
+    compiles+runs fwd+bwd on the chip (it carried the whole round-4
+    78.7 ms/step artifact) — a 12 MB cap mis-rejected it, regressing the
+    fp32 step to 90.9 ms via the per-head fallback. 15 MB admits every
+    empirically-working shape while still rejecting the 18 MB
+    T=512/E=512 fp32 crash case the 2x charge exists for."""
     if not fused_attention_supported(t, backend):
         return False
     planes = 2 * (3 * e + e + 3 * e) * t * itemsize  # 2x(qkv + do + dqkv)
     temps = 4 * t * t * 4
-    return planes + temps < 12 * 2**20
+    return planes + temps < 15 * 2**20
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
